@@ -1,0 +1,82 @@
+package graft.cdc
+
+import graft.source.{BinlogConfig, BinlogGenerator}
+import org.apache.spark.sql.SparkSession
+
+/** spark-submit entry point for the CDC engine (the reference's
+  * `SuroServer.main` with its `-m/-s/-i` config trio,
+  * SuroServer.java:60-141, re-shaped as subcommands).
+  *
+  * {{{
+  * spark-submit --class graft.cdc.RunCdc ... \
+  *   generate <binlogDir> <numEvents> <numConversations> <segmentSize> [evolveAtLsn] [dupPct]
+  *   run      <binlogDir> <tableRoot> [segmentsPerBatch] [numBuckets] [saltBuckets]
+  *   stream   <binlogDir> <tableRoot> <checkpointDir> [maxFilesPerTrigger]
+  *   state    <tableRoot> [version]
+  *   lineage  <tableRoot>
+  * }}}
+  */
+object RunCdc {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "subcommand required: generate|run|stream|state|lineage")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-cdc")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args) finally spark.stop()
+  }
+
+  def run(spark: SparkSession, args: Array[String]): Unit = args(0) match {
+    case "generate" =>
+      val dir = args(1)
+      val cfg = BinlogConfig(
+        numEvents = args(2).toLong,
+        numConversations = args(3).toInt,
+        segmentSize = args(4).toLong,
+        evolveAtLsn = if (args.length > 5) args(5).toLong else Long.MaxValue,
+        dupPct = if (args.length > 6) args(6).toInt else 1)
+      BinlogGenerator.writeSegments(spark, cfg, dir)
+      println(s"generated ${cfg.numEvents} events in ${cfg.numSegments} segments at $dir")
+
+    case "run" =>
+      val p = new CdcPipeline(PipelineConfig(args(1), args(2),
+        segmentsPerBatch = if (args.length > 3) args(3).toInt else 4,
+        numBuckets = if (args.length > 4) args(4).toInt else 16,
+        saltBuckets = if (args.length > 5) args(5).toInt else 0))
+      val t0 = System.nanoTime()
+      val n = p.runAll(spark)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val snap = p.table.loadCurrent()
+      println(f"applied $n batches in $sec%.1fs; snapshot v${snap.version} " +
+        f"rows=${snap.totalRows} hwm=${snap.hwmLsn} files=${snap.files.size}")
+
+    case "stream" =>
+      val p = new CdcPipeline(PipelineConfig(args(1), args(2)))
+      val q = p.startStream(spark, args(3),
+        maxFilesPerTrigger = if (args.length > 4) args(4).toInt else 8)
+      q.awaitTermination()
+      val snap = p.table.loadCurrent()
+      println(s"stream drained; snapshot v${snap.version} rows=${snap.totalRows}")
+
+    case "state" =>
+      val p = new CdcPipeline(PipelineConfig("", args(1)))
+      val df =
+        if (args.length > 2)
+          p.table.read(spark, p.table.loadVersion(args(2).toLong))
+        else p.currentState(spark)
+      println(s"rows=${df.count()}")
+      df.show(20, truncate = false)
+
+    case "lineage" =>
+      val p = new CdcPipeline(PipelineConfig("", args(1)))
+      p.lineage(spark).show(100, truncate = false)
+
+    case other => sys.error(s"unknown subcommand: $other")
+  }
+}

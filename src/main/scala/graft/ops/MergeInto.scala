@@ -1,0 +1,244 @@
+package graft.ops
+
+import graft.model.Model
+import graft.table._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructType}
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Result of one merge attempt. */
+case class MergeResult(
+    snapshot: Snapshot,
+    skipped: Boolean,
+    upserts: Long,
+    deletes: Long,
+    rewrittenFiles: Int,
+    addedFiles: Int)
+
+/** Hand-rolled MERGE INTO (copy-on-write) against a [[ChronicleTable]].
+  *
+  * Semantics: for each key (conv_id, turn_idx), the highest-LSN change wins
+  * — within the batch, across batches, and across replays. `I`/`U` both
+  * upsert (insert-or-replace, so redelivery is idempotent — the reference's
+  * create-vs-index ES tolerance, DefaultIndexInfoBuilder.java:135-173), `D`
+  * removes the key.
+  *
+  * Exactly-once is layered:
+  *   - batchKey ledger: a whole replayed batch is skipped (suro's
+  *     `processingFileSet` upload dedup, RemoteFileSink.java:159-216);
+  *   - LSN high-water mark: events at-or-below the snapshot's hwm are
+  *     already applied and are dropped before dedup (the north star's
+  *     "dedup per key using LSN/offset high-water marks") — this is also
+  *     what makes a delete final against a later redelivery of an older
+  *     insert (tombstone-free);
+  *   - per-key `_lsn` guard: each table row stores the LSN that wrote it;
+  *     a batch change only displaces a row it strictly beats. In-order
+  *     replay never triggers this, but it keeps update reordering across
+  *     epochs from regressing row content.
+  *
+  * Physical plan, designed for 100 TB:
+  *   1. dedup the batch (map-side combine + optional salt — [[Dedup]]);
+  *   2. ONE metadata aggregate over the deduped batch yields lsn range, key
+  *      range, affected bucket set, op counts and the lineage checksum;
+  *   3. file pruning is metadata-only: only files in affected buckets whose
+  *      conv_id range intersects the batch's are rewritten — untouched files
+  *      carry forward in the manifest without any IO;
+  *   4. the existing-LSN guard reads ONLY (conv_id, turn_idx, _lsn) of
+  *      touched files (column-pruned parquet scan) and semi-joins a
+  *      broadcast of the batch keys — result is at most batch-sized;
+  *   5. survivors = touched-files LEFT ANTI JOIN broadcast(winner keys):
+  *      table data never shuffles, it streams through whole-stage codegen;
+  *   6. new files are range-partitioned by (bucket, conv_id, turn_idx) and
+  *      sorted, so each file covers a narrow key range — which is what keeps
+  *      step 3 cheap for the NEXT merge;
+  *   7. commit is a metadata-only atomic pointer flip recording the batchKey.
+  */
+object MergeInto {
+
+  /** Broadcast the anti-join key side when the deduped batch has fewer rows
+    * than this. CDC micro-batches virtually always qualify; above it the
+    * plan falls back to a shuffled join (AQE may still re-plan it).
+    */
+  val broadcastKeyLimit: Long = 20L * 1000 * 1000
+
+  def apply(spark: SparkSession, table: ChronicleTable, batch: DataFrame,
+      batchKey: String, source: String, saltBuckets: Int = 0,
+      orderedSource: Boolean = true): MergeResult = {
+    val base = table.loadCurrent()
+    if (base.committedBatches.contains(batchKey)) {
+      // Exactly-once: replay of an already-applied batch is a no-op.
+      return MergeResult(base, skipped = true, 0, 0, 0, 0)
+    }
+
+    // --- schema evolution ------------------------------------------------
+    val systemCols = Set(Model.lsnColumn, Model.deletedColumn)
+    val batchPayload = StructType(batch.schema.fields.filterNot(f =>
+      f.name == Model.ordColumn || f.name == "op"))
+    val tablePayload = StructType(
+      base.schema.fields.filterNot(f => systemCols.contains(f.name)))
+    val mergedPayload = ChronicleTable.mergeSchemas(tablePayload, batchPayload)
+    val physicalSchema = StructType(mergedPayload.fields ++ Seq(
+      StructField(Model.lsnColumn, LongType, nullable = false),
+      StructField(Model.deletedColumn, BooleanType, nullable = false)))
+    val evolved = mergedPayload.fieldNames.toSeq != tablePayload.fieldNames.toSeq
+
+    // --- high-water-mark dedup (ordered sources) + intra-batch LWW -------
+    // For an in-order log, anything at-or-below the applied high-water mark
+    // is a redelivery: drop it before it costs a shuffle. For unordered
+    // epoch delivery (the streaming file source) the per-key guard +
+    // tombstones below carry correctness instead.
+    val fresh =
+      if (orderedSource) batch.filter(col(Model.ordColumn) > lit(base.hwmLsn))
+      else batch
+    val deduped0 =
+      if (saltBuckets > 1)
+        Dedup.saltedLatest(fresh, Model.keyColumns, Model.ordColumn, saltBuckets)
+      else Dedup.latestByKey(fresh, Model.keyColumns, Model.ordColumn)
+    val deduped = deduped0
+      .withColumn("__bucket", ChronicleTable.bucketExpr("conv_id", base.numBuckets))
+      .cache()
+
+    try {
+      // --- one metadata pass over the (small) deduped batch ---------------
+      val stats = deduped.agg(
+        min(Model.ordColumn).as("minLsn"), max(Model.ordColumn).as("maxLsn"),
+        min("conv_id").as("minKey"), max("conv_id").as("maxKey"),
+        sum(when(col("op") === "D", 1L).otherwise(0L)).as("deletes"),
+        count(lit(1)).as("n"),
+        coalesce(bit_xor(when(col("op") =!= "D",
+          xxhash64(col("conv_id"), col("turn_idx"), col("text")))), lit(0L))
+          .as("checksum"),
+        collect_set("__bucket").as("buckets")).collect()(0)
+
+      val n = stats.getAs[Long]("n")
+      if (n == 0) {
+        val lineage = LineageEntry(batchKey, source, -1L, -1L, 0, 0, 0, 0L, Map.empty, -1L)
+        val next = table.commit(base, PendingCommit(batchKey, Nil, Nil, None, lineage))
+        return MergeResult(next, skipped = false, 0, 0, 0, 0)
+      }
+      val deletes = stats.getAs[Long]("deletes")
+      val minKey = stats.getAs[String]("minKey")
+      val maxKey = stats.getAs[String]("maxKey")
+      val buckets = stats.getSeq[Int](stats.fieldIndex("buckets")).toSet
+
+      // --- metadata-only file pruning --------------------------------------
+      val touched = table.pruneFiles(base, buckets, minKey, maxKey)
+      val touchedPaths = touched.map(_.path)
+
+      def maybeBroadcast(df: DataFrame): DataFrame =
+        if (n <= broadcastKeyLimit) broadcast(df) else df
+
+      // --- per-key existing-LSN guard (column-pruned scan of touched files)
+      val winners: DataFrame =
+        if (touched.isEmpty) deduped
+        else {
+          val keyLsnSchema = StructType(physicalSchema.fields.filter(f =>
+            Model.keyColumns.contains(f.name) || f.name == Model.lsnColumn))
+          val contested = spark.read.schema(keyLsnSchema).parquet(touchedPaths: _*)
+            .join(maybeBroadcast(deduped.select(Model.keyColumns.map(col): _*)),
+              Model.keyColumns, "left_semi")
+            .withColumnRenamed(Model.lsnColumn, "__existing_lsn")
+          deduped.join(broadcast(contested), Model.keyColumns, "left")
+            .filter(col("__existing_lsn").isNull ||
+              col(Model.ordColumn) > col("__existing_lsn"))
+            .drop("__existing_lsn")
+        }
+
+      // --- survivors: touched rows whose key is NOT displaced --------------
+      val winnerKeys = winners.select(Model.keyColumns.map(col): _*)
+      val survivors: Option[DataFrame] =
+        if (touched.isEmpty) None
+        else Some(
+          spark.read.schema(physicalSchema).parquet(touchedPaths: _*)
+            .join(maybeBroadcast(winnerKeys), Model.keyColumns, "left_anti"))
+
+      // Winning deletes persist as tombstones (payload nulled), so a later
+      // redelivery of an older change for the key loses the LSN comparison
+      // instead of resurrecting the row.
+      val upsertRows = conform(
+        winners
+          .withColumn(Model.lsnColumn, col(Model.ordColumn))
+          .withColumn(Model.deletedColumn, col("op") === "D"),
+        physicalSchema)
+      val newData = survivors match {
+        case Some(s) => s.unionByName(upsertRows)
+        case None => upsertRows
+      }
+
+      // --- write new files, range-clustered for future pruning -------------
+      val staging = table.newStagingDir()
+      val parts = math.max(1, math.min(
+        spark.conf.get("spark.sql.shuffle.partitions").toInt, buckets.size * 4))
+      newData
+        .withColumn("bucket", ChronicleTable.bucketExpr("conv_id", base.numBuckets))
+        .repartitionByRange(parts, col("bucket"), col("conv_id"), col("turn_idx"))
+        .sortWithinPartitions("bucket", "conv_id", "turn_idx")
+        .write.partitionBy("bucket").mode("overwrite").parquet(staging)
+
+      val added = collectFileStats(spark, staging, physicalSchema)
+
+      val lineage = LineageEntry(batchKey, source,
+        stats.getAs[Long]("minLsn"), stats.getAs[Long]("maxLsn"),
+        n - deletes, deletes, added.map(_.rows).sum,
+        stats.getAs[Long]("checksum"),
+        added.groupBy(_.bucket.toString).map { case (b, fs) => b -> fs.map(_.rows).sum },
+        -1L)
+      val pending = PendingCommit(batchKey, touchedPaths, added,
+        if (evolved) Some(physicalSchema) else None, lineage)
+      val next = table.commit(base, pending)
+      MergeResult(next, skipped = false, n - deletes, deletes, touched.size, added.size)
+    } finally deduped.unpersist()
+  }
+
+  /** Project `df` onto `schema`: shared columns pass through, columns the
+    * frame lacks become typed nulls (schema-on-read fill for pre-evolution
+    * data).
+    */
+  def conform(df: DataFrame, schema: StructType): DataFrame = {
+    val have = df.columns.toSet
+    df.select(schema.fields.toSeq.map { f =>
+      if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
+  /** Per-file stats for the manifest: one column-pruned scan over only the
+    * newly written files (reads just the key columns). At production scale
+    * this becomes a parquet-footer read — same numbers, zero data IO.
+    */
+  private def collectFileStats(spark: SparkSession, staging: String,
+      schema: StructType): Seq[DataFileMeta] = {
+    val bucketRe = ".*/bucket=(\\d+)/[^/]+$".r
+    val stagingPath = Paths.get(staging)
+    if (!Files.exists(stagingPath)) return Nil
+    val files = Files.walk(stagingPath).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+      .map(_.toString).toSeq
+    if (files.isEmpty) return Nil
+    val keyOnly = StructType(schema.fields.filter(f => Model.keyColumns.contains(f.name)))
+    spark.read.schema(keyOnly).parquet(files: _*)
+      .groupBy(input_file_name().as("path"))
+      .agg(count(lit(1)).as("rows"), min("conv_id").as("minKey"), max("conv_id").as("maxKey"))
+      .collect().toSeq
+      .map { r =>
+        val path = normalize(r.getAs[String]("path"))
+        val bucket = path match {
+          case bucketRe(b) => b.toInt
+          case _ => -1
+        }
+        DataFileMeta(path, r.getAs[Long]("rows"), bucket,
+          r.getAs[String]("minKey"), r.getAs[String]("maxKey"))
+      }
+  }
+
+  private def normalize(sparkPath: String): String =
+    if (sparkPath.startsWith("file:")) Paths.get(new java.net.URI(sparkPath)).toString
+    else sparkPath
+
+  /** Canonical change-event projection (lsn, op, payload...). */
+  def changeColumns: Seq[Column] =
+    (Seq(Model.ordColumn, "op") ++ Model.payloadColumns).map(col)
+}

@@ -1,0 +1,157 @@
+package graft
+
+import graft.cdc.{CdcPipeline, PipelineConfig}
+import graft.model.Model
+import graft.source.{BinlogConfig, BinlogGenerator}
+import graft.table.ChronicleTable
+import org.apache.spark.sql.Row
+
+/** End-to-end replay convergence (FIXTURES.md §3/§4): the engine's final
+  * table must equal the in-memory reference reduction row-for-row under
+  * stable (conv_id, turn_idx) ordering — the count-convergence tests of the
+  * reference (TestMessageRouter.java:134-279) upgraded to full-row equality.
+  */
+class CdcPipelineSpec extends SparkSpec {
+
+  private def oracleRows(cfg: BinlogConfig): Seq[(String, Int, String, String, Option[String])] =
+    BinlogGenerator.referenceReduction(cfg).values.toSeq
+      .sortBy(e => (e.conv_id, e.turn_idx))
+      .map(e => (e.conv_id, e.turn_idx, e.role, e.text, e.tool))
+
+  private def tableRows(p: CdcPipeline): Seq[(String, Int, String, String, Option[String])] =
+    p.currentState(spark).collect().toSeq.map { r: Row =>
+      (r.getAs[String]("conv_id"), r.getAs[Int]("turn_idx"),
+        r.getAs[String]("role"), r.getAs[String]("text"),
+        Option(r.getAs[String]("tool")))
+    }
+
+  test("tiny fixture: dedup+apply+snapshot+read-back equals oracle") {
+    val cfg = BinlogConfig(numEvents = 200, numConversations = 3, maxTurns = 5,
+      segmentSize = 50, dupPct = 10)
+    val src = tmpDir("binlog-tiny")
+    val tbl = tmpDir("table-tiny")
+    BinlogGenerator.writeSegments(spark, cfg, src)
+    val p = new CdcPipeline(PipelineConfig(src, tbl, numBuckets = 4))
+    val batches = p.runAll(spark)
+    assert(batches == 1 || batches > 0)
+    assert(tableRows(p) == oracleRows(cfg))
+  }
+
+  test("dup-replay: duplicates straddling segment boundaries dedup exactly-once") {
+    val cfg = BinlogConfig(numEvents = 2000, numConversations = 20,
+      segmentSize = 100, dupPct = 10)
+    val src = tmpDir("binlog-dup")
+    val tbl = tmpDir("table-dup")
+    BinlogGenerator.writeSegments(spark, cfg, src)
+    val p = new CdcPipeline(PipelineConfig(src, tbl, segmentsPerBatch = 3, numBuckets = 8))
+    p.runAll(spark)
+    assert(tableRows(p) == oracleRows(cfg))
+    // lineage is complete and duplicate-free
+    val lin = p.lineage(spark).collect()
+    assert(lin.map(_.getAs[String]("batch_key")).distinct.length == lin.length)
+  }
+
+  test("replaying an already-committed batch is skipped (idempotent commit)") {
+    val cfg = BinlogConfig(numEvents = 300, numConversations = 5, segmentSize = 100)
+    val src = tmpDir("binlog-idem")
+    val tbl = tmpDir("table-idem")
+    BinlogGenerator.writeSegments(spark, cfg, src)
+    val p = new CdcPipeline(PipelineConfig(src, tbl, segmentsPerBatch = 1, numBuckets = 4))
+    p.runAll(spark)
+    val before = p.table.loadCurrent()
+    // Force a replay of batch 0 through the merge path.
+    val r = graft.ops.MergeInto(spark, p.table,
+      p.readBatch(spark, Seq("segment=0")), p.batchKey(0), "replay")
+    assert(r.skipped)
+    assert(p.table.loadCurrent().version == before.version)
+  }
+
+  test("schema evolution: tool column appears mid-stream; old snapshots stay readable") {
+    val cfg = BinlogConfig(numEvents = 1000, numConversations = 10,
+      segmentSize = 100, evolveAtLsn = 500)
+    val src = tmpDir("binlog-evolve")
+    val tbl = tmpDir("table-evolve")
+    BinlogGenerator.writeSegments(spark, cfg, src)
+
+    val p = new CdcPipeline(PipelineConfig(src, tbl, segmentsPerBatch = 2, numBuckets = 4))
+    p.ensureTable()
+    // v1 schema has no tool column; feed pre-evolution batches with the
+    // narrow schema to prove widening happens when the column first appears.
+    assert(p.table.loadCurrent().schema.fieldNames.toSeq == Model.physicalSchemaV1.fieldNames.toSeq)
+    p.runAll(spark)
+    val snap = p.table.loadCurrent()
+    assert(snap.schema.fieldNames.contains("tool"))
+    assert(tableRows(p) == oracleRows(cfg))
+    // time travel: every historical snapshot is still readable
+    p.table.versions.foreach { v =>
+      p.table.read(spark, p.table.loadVersion(v)).count()
+    }
+    // pre-evolution rows surface with null tool, post-evolution some non-null
+    assert(p.currentState(spark).where("tool is not null").count() > 0)
+  }
+
+  test("kill-resume: crash between data-file write and pointer swap reconverges") {
+    val cfg = BinlogConfig(numEvents = 1500, numConversations = 15,
+      segmentSize = 100, dupPct = 5)
+    val src = tmpDir("binlog-kill")
+    BinlogGenerator.writeSegments(spark, cfg, src)
+
+    // uninterrupted run = the expected state
+    val tblA = tmpDir("table-kill-a")
+    val pa = new CdcPipeline(PipelineConfig(src, tblA, segmentsPerBatch = 2, numBuckets = 4))
+    pa.runAll(spark)
+
+    // interrupted run: crash in the publish window of batch 3
+    val tblB = tmpDir("table-kill-b")
+    val pb = new CdcPipeline(PipelineConfig(src, tblB, segmentsPerBatch = 2, numBuckets = 4))
+    pb.ensureTable()
+    var applied = 0
+    pb.table.beforePublishHook = snap => {
+      if (applied == 3) throw new RuntimeException("simulated crash before publish")
+    }
+    val crashed = intercept[RuntimeException] {
+      while (true) { pb.runOnce(spark); applied += 1 }
+    }
+    assert(crashed.getMessage.contains("simulated crash") ||
+      crashed.getMessage.contains("publish"))
+    pb.table.beforePublishHook = _ => ()
+
+    // resume with a fresh pipeline instance (new process semantics)
+    val pc = new CdcPipeline(PipelineConfig(src, tblB, segmentsPerBatch = 2, numBuckets = 4))
+    val orphans = pc.table.gcOrphans() // crash left staged-but-unpublished files
+    assert(orphans.nonEmpty)
+    pc.runAll(spark)
+
+    assert(tableRows(pc) == tableRows(pa))
+    assert(tableRows(pc) == oracleRows(cfg))
+    // no duplicate lineage rows after resume
+    val keys = pc.table.loadCurrent().lineage.map(_.batchKey)
+    assert(keys.distinct.length == keys.length)
+  }
+
+  test("structured streaming variant converges to the same state") {
+    val cfg = BinlogConfig(numEvents = 1200, numConversations = 12,
+      segmentSize = 100, dupPct = 5)
+    val src = tmpDir("binlog-ss")
+    val tbl = tmpDir("table-ss")
+    val ckpt = tmpDir("ckpt-ss")
+    BinlogGenerator.writeSegments(spark, cfg, src)
+    val p = new CdcPipeline(PipelineConfig(src, tbl, sourceId = "ss", numBuckets = 4))
+    val q = p.startStream(spark, ckpt, maxFilesPerTrigger = 3)
+    q.awaitTermination(120000)
+    assert(tableRows(p) == oracleRows(cfg))
+  }
+
+  test("salted dedup path produces identical state (hot-key fixture)") {
+    // zipfS high => one conversation dominates
+    val cfg = BinlogConfig(numEvents = 3000, numConversations = 10,
+      zipfS = 2.5, segmentSize = 500, dupPct = 5)
+    val src = tmpDir("binlog-hot")
+    val tbl = tmpDir("table-hot")
+    BinlogGenerator.writeSegments(spark, cfg, src)
+    val p = new CdcPipeline(PipelineConfig(src, tbl, segmentsPerBatch = 2,
+      numBuckets = 4, saltBuckets = 8))
+    p.runAll(spark)
+    assert(tableRows(p) == oracleRows(cfg))
+  }
+}
