@@ -77,6 +77,21 @@ object RunCdc {
       val p = new CdcPipeline(PipelineConfig("", args(1)))
       p.lineage(spark).show(100, truncate = false)
 
+    // route <binlogDir> <routesJsonFile> <outDir>: fan the change stream out
+    // to per-sink parquet dirs through the filter DSL (the reference's
+    // router -> LocalFileSink path, MessageRouter.java:60-102).
+    case "route" =>
+      val routes = graft.routing.Router.parseRoutes(
+        java.nio.file.Files.readString(java.nio.file.Paths.get(args(2))))
+      val events = spark.read.parquet(args(1))
+        .select(graft.ops.MergeInto.changeColumns: _*)
+      val out = graft.routing.Router.fanout(events,
+        graft.routing.RoutingTable("conv_id", routes))
+      out.foreach { case (sink, df) =>
+        df.write.mode("overwrite").parquet(s"${args(3)}/$sink")
+        println(s"sink $sink: ${spark.read.parquet(s"${args(3)}/$sink").count()} events")
+      }
+
     case other => sys.error(s"unknown subcommand: $other")
   }
 }
