@@ -1,13 +1,396 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.ann.Ann
+import graft.dedup.DocDedup
+import graft.mm.Multimodal
+import graft.queries.{CdcQueries, RelationalQueries}
+import graft.textops.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract: one `queries` entry per implemented operator (SURVEY.md
+  * §2 + the training-data-pipeline operator set), each with an equivalent
+  * DuckDB oracle in [[oracleSql]] where SQL can express it.
+  *
+  * Oracle-parity conventions used throughout (see each operator's scaladoc):
+  * timestamps compared as epoch millis, monetary/ratio doubles as scaled
+  * bigints, and every hash md5-derived so both engines compute identical
+  * values.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** The SQL text of the shared events->changes mapping (DuckDB dialect). */
+  private val changesSql: String =
+    """SELECT event_id AS lsn,
+      |  CASE WHEN event_type IN ('click','view','signup') THEN 'I'
+      |       WHEN event_type = 'purchase' THEN 'U' ELSE 'D' END AS op,
+      |  'conv-' || lpad((user_id % 100)::VARCHAR, 4, '0') AS conv_id,
+      |  (floor(value)::INT % 8)::INT AS turn_idx,
+      |  ['user','assistant','tool','system'][(event_id % 4)::INT + 1] AS role,
+      |  event_type || ' #' || event_id AS text,
+      |  CASE WHEN event_id >= 500 THEN json_extract_string(props, '$.k') END AS tool,
+      |  epoch_ms(ts) AS ts_ms
+      |FROM events""".stripMargin
+
+  private val docTokensSql: String =
+    """SELECT doc_id, text,
+      |  list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
+      |FROM documents""".stripMargin
+
+  private val shinglesSql: String =
+    s"""WITH w AS ($docTokensSql)
+       |SELECT DISTINCT doc_id,
+       |  unnest([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS sh
+       |FROM w WHERE len(ws) >= 3""".stripMargin
+
+  private val quantizedSql: String =
+    """SELECT vec_id, [round(x::DOUBLE * 1000)::BIGINT for x in embedding] AS q
+      |FROM embeddings""".stripMargin
+
+  /** Flagship query on sf=0.001: the full CDC engine replay (dedup + MERGE
+    * through the ChronicleTable) producing the final transcripts state.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    CdcQueries.finalState(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ------------------------------------------------- CDC engine operators
+    "cdc_parse_changes" -> ((s, d) => CdcQueries.parseChanges(s, d)),
+    "cdc_dedup_latest" -> ((s, d) => CdcQueries.dedupLatest(s, d)),
+    "cdc_dedup_salted" -> ((s, d) => CdcQueries.dedupSalted(s, d)),
+    "cdc_final_state" -> ((s, d) => CdcQueries.finalState(s, d)),
+    "cdc_hwm_anti" -> ((s, d) => CdcQueries.hwmAntiJoin(s, d)),
+    "cdc_route_dsl" -> ((s, d) => CdcQueries.routeDsl(s, d)),
+    "cdc_quarantine" -> ((s, d) => CdcQueries.quarantine(s, d)),
+    "cdc_lineage_stats" -> ((s, d) => CdcQueries.lineageStats(s, d)),
+    "cdc_schema_evolution" -> ((s, d) => CdcQueries.schemaEvolution(s, d)),
+    "cdc_sessionize" -> ((s, d) => CdcQueries.sessionize(s, d)),
+    "cdc_window_agg" -> ((s, d) => CdcQueries.windowAgg(s, d)),
+    // ------------------------------------------------- relational breadth
+    "q1_pricing_summary" -> ((s, d) => RelationalQueries.q1PricingSummary(s, d)),
+    "q3_top_revenue" -> ((s, d) => RelationalQueries.q3TopRevenue(s, d)),
+    "q_window_rank" -> ((s, d) => RelationalQueries.topOrdersPerCustomer(s, d)),
+    "q_rollup" -> ((s, d) => RelationalQueries.rollupOrders(s, d)),
+    "q_semi_anti" -> ((s, d) => RelationalQueries.semiAntiCustomers(s, d)),
+    "q_except" -> ((s, d) => RelationalQueries.customerOnlyNations(s, d)),
+    "q_region_join" -> ((s, d) => RelationalQueries.revenueByRegion(s, d)),
+    "q_topk" -> ((s, d) => RelationalQueries.topParts(s, d)),
+    // ------------------------------------------------- text analysis
+    "text_tokens" -> ((s, d) => TextOps.tokenCounts(s, d)),
+    "text_quality" -> ((s, d) => TextOps.qualityScore(s, d)),
+    "text_lang_id" -> ((s, d) => TextOps.langId(s, d)),
+    "text_fingerprint" -> ((s, d) => TextOps.fingerprint(s, d)),
+    // ------------------------------------------------- deduplication
+    "dedup_exact" -> ((s, d) => DocDedup.exact(s, d)),
+    "dedup_ngram_jaccard" -> ((s, d) => DocDedup.ngramJaccardPairs(s, d)),
+    "dedup_minhash_sig" -> ((s, d) => DocDedup.minhashSignatures(s, d)),
+    "dedup_lsh_pairs" -> ((s, d) => DocDedup.lshPairs(s, d)),
+    "dedup_simhash" -> ((s, d) => DocDedup.simhash(s, d)),
+    // ------------------------------------------------- similarity search
+    "ann_brute_topk" -> ((s, d) => Ann.bruteForceTopK(s, d)),
+    "ann_lsh_buckets" -> ((s, d) => Ann.lshBuckets(s, d)),
+    "ann_lsh_pairs" -> ((s, d) => Ann.lshCandidatePairs(s, d)),
+    // ------------------------------------------------- multimodal plumbing
+    "mm_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d)),
+    "mm_decode_features" -> ((s, d) => Multimodal.decodeFeatures(s, d)
+      .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("frames").cast("long").as("frames"))))
+
+  def oracleSql: Map[String, String] = Map(
+    "cdc_parse_changes" ->
+      s"""WITH ch AS ($changesSql)
+         |SELECT * FROM ch ORDER BY lsn""".stripMargin,
+
+    "cdc_dedup_latest" ->
+      s"""WITH ch AS ($changesSql),
+         |d AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn FROM ch)
+         |SELECT conv_id, turn_idx, lsn, op, role, text, tool, ts_ms
+         |FROM d WHERE rn = 1 ORDER BY conv_id, turn_idx""".stripMargin,
+
+    "cdc_dedup_salted" ->
+      s"""WITH ch AS ($changesSql),
+         |d AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn FROM ch)
+         |SELECT conv_id, turn_idx, lsn, op, role, text, tool, ts_ms
+         |FROM d WHERE rn = 1 ORDER BY conv_id, turn_idx""".stripMargin,
+
+    "cdc_final_state" ->
+      s"""WITH ch AS ($changesSql),
+         |d AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn FROM ch)
+         |SELECT conv_id, turn_idx, role, text, tool, ts_ms
+         |FROM d WHERE rn = 1 AND op <> 'D' ORDER BY conv_id, turn_idx""".stripMargin,
+
+    "cdc_hwm_anti" ->
+      s"""WITH ch AS ($changesSql)
+         |SELECT * FROM ch c
+         |WHERE c.lsn >= 500 AND NOT EXISTS (
+         |  SELECT 1 FROM ch p
+         |  WHERE p.lsn < 500 AND p.conv_id = c.conv_id AND p.turn_idx = c.turn_idx)
+         |ORDER BY lsn""".stripMargin,
+
+    "cdc_route_dsl" ->
+      """SELECT event_id, event_type, value, 'funnel' AS routed_to
+        |FROM events
+        |WHERE event_type IN ('purchase', 'signup') AND value >= 10 AND value < 100
+        |ORDER BY event_id""".stripMargin,
+
+    "cdc_quarantine" ->
+      """SELECT event_id, user_id, 'validation_failed' AS reason
+        |FROM events WHERE event_type = 'error' AND value < 20
+        |ORDER BY event_id""".stripMargin,
+
+    "cdc_lineage_stats" ->
+      s"""WITH ch AS ($changesSql)
+         |SELECT lsn // 250 AS batch_id,
+         |  min(lsn) AS start_lsn, max(lsn) AS end_lsn,
+         |  sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END)::BIGINT AS inserts,
+         |  sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END)::BIGINT AS updates,
+         |  sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END)::BIGINT AS deletes,
+         |  count(*) AS n_events,
+         |  sum(length(text))::BIGINT AS payload_chars
+         |FROM ch GROUP BY 1 ORDER BY batch_id""".stripMargin,
+
+    "cdc_schema_evolution" ->
+      s"""WITH ch AS ($changesSql)
+         |SELECT tool, count(*) AS n, min(lsn) AS first_lsn, max(lsn) AS last_lsn
+         |FROM ch GROUP BY tool ORDER BY tool ASC NULLS FIRST""".stripMargin,
+
+    "cdc_sessionize" ->
+      """WITH g AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |      OR epoch_ms(ts) - epoch_ms(prev_ts) > 3600000 THEN 1 ELSE 0 END AS new_session
+        |  FROM (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events)),
+        |s AS (SELECT *, sum(new_session) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_seq FROM g)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |  epoch_ms(min(ts)) AS start_ms, epoch_ms(max(ts)) AS end_ms
+        |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+
+    "cdc_window_agg" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,
+        |  count(*) AS n, round(sum(value) * 100)::BIGINT AS sum_value_e2
+        |FROM events GROUP BY 1, 2 ORDER BY window_start_ms, event_type""".stripMargin,
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity) * 100)::BIGINT AS sum_qty_e2,
+        |  round(sum(l_extendedprice) * 100)::BIGINT AS sum_base_e2,
+        |  round(sum(l_extendedprice * (1 - l_discount)) * 100)::BIGINT AS sum_disc_e2,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_top_revenue" ->
+      """SELECT l_orderkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)) * 100)::BIGINT AS revenue_e2
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey
+        |ORDER BY revenue_e2 DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_custkey, rk, o_orderkey, round(o_totalprice * 100)::BIGINT AS price_e2
+        |FROM (SELECT *, row_number() OVER (
+        |    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders)
+        |WHERE rk <= 2 ORDER BY o_custkey, rk""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice) * 100)::BIGINT AS total_e2
+        |FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+        |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
+
+    "q_semi_anti" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_except" ->
+      """SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        |EXCEPT
+        |SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "q_region_join" ->
+      """SELECT r_name, count(*) AS n_orders,
+        |  round(sum(o_totalprice) * 100)::BIGINT AS revenue_e2
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q_topk" ->
+      """SELECT p_partkey, p_name, round(p_retailprice * 100)::BIGINT AS price_e2
+        |FROM part ORDER BY price_e2 DESC, p_partkey LIMIT 10""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS n_ws_tokens,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens,
+        |  length(text) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    length(text)::DOUBLE AS n_chars,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> ''))::DOUBLE AS n_toks,
+        |    len(regexp_extract_all(lower(text), '[a-z]'))::DOUBLE AS alpha,
+        |    len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE AS punct,
+        |    len(regexp_extract_all(text, '[0-9]'))::DOUBLE AS digit,
+        |    len(list_filter(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> ''),
+        |      x -> x IN ('the','a','an','and','of','to','in','is','it','that','for','on','with','as')))::DOUBLE AS stop
+        |  FROM documents WHERE length(text) > 0)
+        |SELECT doc_id,
+        |  round(alpha / n_chars * 10000)::BIGINT AS alpha_ratio_e4,
+        |  round(punct / n_chars * 10000)::BIGINT AS punct_ratio_e4,
+        |  round(digit / n_chars * 10000)::BIGINT AS digit_ratio_e4,
+        |  round(stop / n_toks * 10000)::BIGINT AS stopword_ratio_e4,
+        |  round((alpha / n_chars * 0.4 + stop / n_toks * 0.4 + (1 - punct / n_chars) * 0.2) * 10000)::BIGINT AS quality_e4
+        |FROM t WHERE n_toks > 0 ORDER BY doc_id""".stripMargin,
+
+    "text_lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(lower(text), '[a-z]'))::DOUBLE / length(text)::DOUBLE AS alpha_ratio,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents WHERE length(text) > 0),
+        |v AS (SELECT doc_id, alpha_ratio,
+        |    len(list_filter(ws, x -> x IN ('the','and','of','to','is'))) AS v_en,
+        |    len(list_filter(ws, x -> x IN ('el','la','de','que','y'))) AS v_es,
+        |    len(list_filter(ws, x -> x IN ('le','les','et','des','une'))) AS v_fr,
+        |    len(list_filter(ws, x -> x IN ('der','die','und','das','ist'))) AS v_de
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN alpha_ratio < 0.4 THEN 'zh'
+        |       WHEN v_en >= v_es AND v_en >= v_fr AND v_en >= v_de THEN 'en'
+        |       WHEN v_es >= v_fr AND v_es >= v_de THEN 'es'
+        |       WHEN v_fr >= v_de THEN 'fr'
+        |       ELSE 'de' END AS pred_lang
+        |FROM v ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    unnest([md5(substring(text, i, 8)) for i in range(1, greatest(length(text) - 7, 1) + 1)]) AS sh
+        |  FROM documents WHERE length(text) > 0)
+        |SELECT doc_id, min(sh) AS fingerprint FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT doc_id,
+        |  min(doc_id) OVER (PARTITION BY md5(text)) AS canon_id,
+        |  count(*) OVER (PARTITION BY md5(text)) AS group_size,
+        |  doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH g AS ($shinglesSql),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM g GROUP BY doc_id),
+         |rare AS (SELECT sh FROM g GROUP BY sh HAVING count(*) BETWEEN 2 AND 50),
+         |gr AS (SELECT g.doc_id, g.sh FROM g JOIN rare USING (sh)),
+         |p AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+         |      FROM gr x JOIN gr y USING (sh) WHERE x.doc_id < y.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT a, b, shared,
+         |  round(shared * 10000.0 / (sa.n_sh + sb.n_sh - shared))::BIGINT AS jacc_e4
+         |FROM p JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+         |WHERE round(shared * 10000.0 / (sa.n_sh + sb.n_sh - shared))::BIGINT >= 2000
+         |ORDER BY a, b""".stripMargin,
+
+    "dedup_minhash_sig" ->
+      s"""WITH g AS ($shinglesSql),
+         |b AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % 1000003 AS base FROM g)
+         |SELECT doc_id, perm,
+         |  min(((perm * 2 + 3) * base + (perm * 5 + 7)) % 1000003) AS minhash
+         |FROM b, (SELECT unnest(range(0, 16)) AS perm)
+         |GROUP BY doc_id, perm ORDER BY doc_id, perm""".stripMargin,
+
+    "dedup_lsh_pairs" ->
+      s"""WITH g AS ($shinglesSql),
+         |bse AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % 1000003 AS base FROM g),
+         |sig AS (SELECT doc_id, perm,
+         |    min(((perm * 2 + 3) * base + (perm * 5 + 7)) % 1000003) AS minhash
+         |  FROM bse, (SELECT unnest(range(0, 16)) AS perm) GROUP BY doc_id, perm),
+         |bands AS (SELECT doc_id, perm // 4 AS band,
+         |    array_to_string(list(minhash ORDER BY perm), ',') AS bandsig
+         |  FROM sig GROUP BY doc_id, perm // 4),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.bandsig = y.bandsig
+         |  WHERE x.doc_id < y.doc_id),
+         |est AS (SELECT a, b,
+         |    (sum(CASE WHEN sx.minhash = sy.minhash THEN 1 ELSE 0 END) * 10000 / 16)::BIGINT AS est_sim_e4
+         |  FROM cand JOIN sig sx ON sx.doc_id = a JOIN sig sy ON sy.doc_id = b AND sy.perm = sx.perm
+         |  GROUP BY a, b)
+         |SELECT a, b, est_sim_e4 FROM est WHERE est_sim_e4 >= 5000 ORDER BY a, b""".stripMargin,
+
+    "dedup_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS t
+        |  FROM documents),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+        |s AS (SELECT doc_id, j, sum(((h >> j) & 1) * 2 - 1) AS s
+        |  FROM h, (SELECT unnest(range(0, 32)) AS j) GROUP BY doc_id, j)
+        |SELECT doc_id,
+        |  sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "ann_brute_topk" ->
+      s"""WITH e AS ($quantizedSql),
+         |qs AS (SELECT vec_id AS query_id, q AS qv FROM e WHERE vec_id < 8),
+         |s AS (SELECT query_id, e.vec_id AS neighbor_id,
+         |    list_sum([qv[i] * q[i] for i in range(1, len(qv) + 1)])::BIGINT AS dot_q
+         |  FROM e, qs WHERE e.vec_id <> query_id),
+         |r AS (SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY dot_q DESC, neighbor_id) AS rank FROM s)
+         |SELECT query_id, rank, neighbor_id, dot_q FROM r WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "ann_lsh_buckets" ->
+      s"""WITH e AS ($quantizedSql),
+         |x AS (SELECT vec_id, unnest(q) AS x, generate_subscripts(q, 1) - 1 AS j FROM e),
+         |proj AS (SELECT vec_id, p,
+         |    sum((('0x' || substr(md5(p::VARCHAR || '_' || j::VARCHAR), 1, 15))::BIGINT % 2001 - 1000) * x) AS proj
+         |  FROM x, (SELECT unnest(range(0, 12)) AS p) GROUP BY vec_id, p)
+         |SELECT vec_id,
+         |  sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
+         |FROM proj GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "ann_lsh_pairs" ->
+      s"""WITH e AS ($quantizedSql),
+         |x AS (SELECT vec_id, unnest(q) AS x, generate_subscripts(q, 1) - 1 AS j FROM e),
+         |proj AS (SELECT vec_id, p,
+         |    sum((('0x' || substr(md5(p::VARCHAR || '_' || j::VARCHAR), 1, 15))::BIGINT % 2001 - 1000) * x) AS proj
+         |  FROM x, (SELECT unnest(range(0, 12)) AS p) GROUP BY vec_id, p),
+         |bk AS (SELECT vec_id,
+         |    sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+         |  FROM proj GROUP BY vec_id)
+         |SELECT l.vec_id AS a, r.vec_id AS b,
+         |  list_sum([el.q[i] * er.q[i] for i in range(1, len(el.q) + 1)])::BIGINT AS dot_q
+         |FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+         |JOIN e el ON el.vec_id = l.vec_id JOIN e er ON er.vec_id = r.vec_id
+         |WHERE list_sum([el.q[i] * er.q[i] for i in range(1, len(el.q) + 1)]) >= 200000
+         |ORDER BY a, b""".stripMargin,
+
+    "mm_binary_meta" ->
+      """SELECT doc_id, octet_length(encode(text))::INT AS n_bytes,
+        |  substr(hex(encode(text)), 1, 8) AS head_hex,
+        |  'text/plain' AS media_type
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_decode_features" ->
+      """SELECT doc_id,
+        |  octet_length(encode(text))::BIGINT AS n_bytes,
+        |  (octet_length(encode(text)) % 640 + 1)::BIGINT AS width,
+        |  ((octet_length(encode(text)) * 31) % 480 + 1)::BIGINT AS height,
+        |  (octet_length(encode(text)) % 16 + 1)::BIGINT AS frames
+        |FROM documents ORDER BY doc_id""".stripMargin)
 }

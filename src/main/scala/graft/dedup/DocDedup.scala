@@ -1,0 +1,165 @@
+package graft.dedup
+
+import graft.textops.TextOps
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Document deduplication operators: exact, n-gram Jaccard, MinHash/LSH and
+  * SimHash. All hashing is md5-derived so the DuckDB oracle computes the
+  * identical values; all arithmetic stays in exact integers.
+  *
+  * Scale notes: every operator here is a shuffle-on-shingle/signature
+  * inverted-index pattern — the candidate-pair join never materializes the
+  * quadratic doc×doc space, and frequent shingles are dropped by a document
+  * -frequency cap (the standard stop-shingle trick) so no reducer sees a
+  * hot shingle's full pair blow-up.
+  */
+object DocDedup {
+
+  def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Exact dedup by content hash: canonical id = min doc_id per md5(text). */
+  def exact(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("h")
+    docs(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .withColumn("canon_id", min("doc_id").over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .select(col("doc_id"), col("canon_id"), col("group_size"),
+        (col("doc_id") =!= col("canon_id")).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  /** Distinct word 3-gram shingles per document. */
+  def shingles(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokensCol(col("text"))
+    docs(spark, dir)
+      .select(col("doc_id"), toks.as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("ws")) - 3)).as("i"), col("ws"))
+      .select(col("doc_id"),
+        concat_ws(" ", col("ws")(col("i")), col("ws")(col("i") + 1),
+          col("ws")(col("i") + 2)).as("sh"))
+      .distinct()
+  }
+
+  /** Document-frequency cap for candidate generation (stop-shingle trick):
+    * shingles appearing in more than this many docs generate no candidate
+    * pairs. Mirrored exactly in the oracle SQL.
+    */
+  val maxShingleDf = 50
+
+  /** Near-duplicate pairs by exact n-gram Jaccard over an inverted-index
+    * candidate join: pairs sharing >=1 rare shingle, verified with the true
+    * Jaccard over the full shingle sets, threshold 0.2. The scalable shape:
+    * shuffle is by shingle, never doc×doc.
+    */
+  def ngramJaccardPairs(spark: SparkSession, dir: String,
+      threshold: Double = 0.2): DataFrame = {
+    val sh = shingles(spark, dir).cache()
+    try {
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val rare = sh.join(
+        sh.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxShingleDf && col("df") >= 2)
+          .select("sh"),
+        Seq("sh"), "left_semi")
+      val a = rare.select(col("doc_id").as("a"), col("sh"))
+      val b = rare.select(col("doc_id").as("b"), col("sh"))
+      val pairs = a.join(b, Seq("sh")).filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+      val out = pairs
+        .join(broadcast(sizes.withColumnRenamed("doc_id", "a")
+          .withColumnRenamed("n_sh", "na")), Seq("a"))
+        .join(broadcast(sizes.withColumnRenamed("doc_id", "b")
+          .withColumnRenamed("n_sh", "nb")), Seq("b"))
+        .withColumn("jacc_e4", round(col("shared").cast("double") * 10000 /
+          (col("na") + col("nb") - col("shared"))).cast("long"))
+        .filter(col("jacc_e4") >= (threshold * 10000).toLong)
+        .select("a", "b", "shared", "jacc_e4")
+        .orderBy("a", "b")
+      out.cache().count()
+      out
+    } finally sh.unpersist()
+  }
+
+  /** md5-derived 60-bit integer base hash — computable identically in
+    * DuckDB via ('0x' || substr(md5(s), 1, 15))::bigint.
+    */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  val minhashPerms = 16
+  val minhashPrime = 1000003L
+
+  /** MinHash signatures: perm p of doc d = min over shingles s of
+    * ((2p+3) * (md5Long(s) mod P) + (5p+7)) mod P. Exact integer math, no
+    * overflow (35 * 1e6 << 2^63), so the oracle reproduces it bit-for-bit.
+    * Output: one row per (doc_id, perm).
+    */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    shingles(spark, dir)
+      .withColumn("base", md5Long(col("sh")) % minhashPrime)
+      .select(col("doc_id"), col("base"),
+        explode(sequence(lit(0), lit(minhashPerms - 1))).as("perm"))
+      .groupBy("doc_id", "perm")
+      .agg(min(((col("perm") * 2 + 3) * col("base") + (col("perm") * 5 + 7))
+        % minhashPrime).as("minhash"))
+      .select(col("doc_id"), col("perm").cast("long").as("perm"), col("minhash"))
+      .orderBy("doc_id", "perm")
+
+  /** LSH candidate pairs: 4 bands x 4 rows over the MinHash signature;
+    * pairs sharing a band are verified by estimated similarity (fraction
+    * of matching minhashes) >= 0.5. Shuffle is by band signature.
+    */
+  def lshPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatures(spark, dir).cache()
+    try {
+      // band signature must be order-deterministic: sort (perm, minhash)
+      // pairs before concatenating
+      val bands2 = sig
+        .withColumn("band", (col("perm") / 4).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(sort_array(collect_list(struct(col("perm"), col("minhash"))))
+          .as("pm"))
+        .select(col("doc_id"), col("band"),
+          concat_ws(",", transform(col("pm"), x => x.getField("minhash")))
+            .as("bandsig"))
+      val l = bands2.select(col("doc_id").as("a"), col("band"), col("bandsig"))
+      val r = bands2.select(col("doc_id").as("b"), col("band"), col("bandsig"))
+      val cand = l.join(r, Seq("band", "bandsig")).filter(col("a") < col("b"))
+        .select("a", "b").distinct()
+      val sa = sig.select(col("doc_id").as("a"), col("perm"), col("minhash").as("ma"))
+      val sb = sig.select(col("doc_id").as("b"), col("perm"), col("minhash").as("mb"))
+      val out = cand.join(sa, Seq("a")).join(sb, Seq("b", "perm"))
+        .groupBy("a", "b")
+        .agg((sum(when(col("ma") === col("mb"), 1).otherwise(0)) * 10000 /
+          minhashPerms).cast("long").as("est_sim_e4"))
+        .filter(col("est_sim_e4") >= 5000)
+        .orderBy("a", "b")
+      out.cache().count()
+      out
+    } finally sig.unpersist()
+  }
+
+  /** 32-bit SimHash over word tokens: bit j set iff the sum over tokens of
+    * (2*bit_j(md5Long(token)) - 1) is positive. Integer-exact.
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokensCol(col("text"))
+    docs(spark, dir)
+      .select(col("doc_id"), explode(toks).as("t"))
+      .withColumn("h", md5Long(col("t")))
+      .select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(31))).as("j"))
+      .groupBy("doc_id", "j")
+      .agg(sum(expr("(shiftright(h, cast(j as int)) & 1) * 2 - 1")).as("s"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, cast(j as int))"))
+        .otherwise(0L)).as("simhash"))
+      .orderBy("doc_id")
+  }
+}

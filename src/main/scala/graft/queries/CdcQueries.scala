@@ -1,0 +1,195 @@
+package graft.queries
+
+import graft.model.Model
+import graft.ops.{Dedup, MergeInto}
+import graft.table.ChronicleTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CDC operators exposed over the driver's `events` table so each one has a
+  * DuckDB-checkable oracle (the driver's correctness gate). The `events`
+  * rows are deterministically mapped into a change stream of the
+  * transcripts shape — the same mapping is expressed in ANSI SQL in
+  * [[graft.SparkEntry.oracleSql]].
+  *
+  * Mapping: lsn = event_id; op from event_type (click/view/signup -> I,
+  * purchase -> U, error -> D); conv_id = user_id zero-padded; turn_idx from
+  * value; tool extracted from the JSON props only at-or-after the
+  * schema-evolution LSN.
+  */
+object CdcQueries {
+
+  val evolveLsn = 500L
+
+  def events(spark: SparkSession, dir: String): DataFrame =
+    // testdata timestamps are NTZ; session tz is UTC so the cast is exact
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+
+  /** events -> change stream (the reference's RecordParser/JsonLine stage:
+    * key extraction + typed projection + JSON field access,
+    * suro-s3/.../JsonLine.java:41-70).
+    */
+  def changes(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).select(
+      col("event_id").as("lsn"),
+      when(col("event_type").isin("click", "view", "signup"), "I")
+        .when(col("event_type") === "purchase", "U")
+        .otherwise("D").as("op"),
+      concat(lit("conv-"), lpad((col("user_id") % 100).cast("string"), 4, "0"))
+        .as("conv_id"),
+      (floor(col("value")).cast("int") % 8).as("turn_idx"),
+      element_at(
+        array(lit("user"), lit("assistant"), lit("tool"), lit("system")),
+        (col("event_id") % 4).cast("int") + 1).as("role"),
+      concat(col("event_type"), lit(" #"), col("event_id")).as("text"),
+      when(col("event_id") >= evolveLsn,
+        get_json_object(col("props"), "$.k")).as("tool"),
+      col("ts"))
+
+  private def withMs(df: DataFrame): DataFrame =
+    df.withColumn("ts_ms", unix_millis(col("ts"))).drop("ts")
+
+  /** The parse/projection stage itself, ordered by lsn (oracle-checkable). */
+  def parseChanges(spark: SparkSession, dir: String): DataFrame =
+    withMs(changes(spark, dir)).orderBy("lsn")
+
+  /** Latest change per key — the LSN last-writer-wins dedup operator. */
+  def dedupLatest(spark: SparkSession, dir: String): DataFrame =
+    withMs(Dedup.latestByKey(changes(spark, dir), Model.keyColumns, "lsn"))
+      .orderBy("conv_id", "turn_idx")
+
+  /** Same semantics through the explicit two-phase salted plan (skew path);
+    * shares the oracle with dedupLatest — the salt must not change results.
+    */
+  def dedupSalted(spark: SparkSession, dir: String): DataFrame =
+    withMs(Dedup.saltedLatest(changes(spark, dir), Model.keyColumns, "lsn", 16))
+      .orderBy("conv_id", "turn_idx")
+
+  /** Full engine replay: the change stream is split into micro-batches by
+    * LSN range and applied through the real ChronicleTable MERGE path into
+    * a scratch table; returns the final visible state. Oracle: a
+    * last-writer-wins window query in DuckDB.
+    */
+  def finalState(spark: SparkSession, dir: String, numBatches: Int = 4): DataFrame = {
+    val ch = changes(spark, dir).cache()
+    try {
+      val maxLsn = ch.agg(max("lsn")).collect()(0).getLong(0)
+      val step = maxLsn / numBatches + 1
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-finalstate").toString
+      val table = new ChronicleTable(root)
+      table.create(graft.model.Model.physicalSchemaV1, numBuckets = 8)
+      (0 until numBatches).foreach { b =>
+        val batch = ch.filter(col("lsn") >= b * step && col("lsn") < (b + 1) * step)
+        MergeInto(spark, table, batch, s"fs#$b", s"lsn-range-$b")
+      }
+      val out = withMs(
+        table.read(spark)
+          .filter(!col(Model.deletedColumn))
+          .drop(Model.lsnColumn, Model.deletedColumn))
+        .orderBy("conv_id", "turn_idx")
+      // materialize before the temp dir could be cleaned
+      out.cache().count()
+      out
+    } finally ch.unpersist()
+  }
+
+  /** High-water-mark anti-join: changes whose key was never touched by the
+    * already-applied prefix (lsn < hwm) — the applied-offset exactly-once
+    * primitive as a standalone relational operator (left_anti).
+    */
+  def hwmAntiJoin(spark: SparkSession, dir: String, hwm: Long = 500L): DataFrame = {
+    val ch = changes(spark, dir)
+    val applied = ch.filter(col("lsn") < hwm).select("conv_id", "turn_idx")
+    withMs(ch.filter(col("lsn") >= hwm)
+      .join(applied, Model.keyColumns, "left_anti"))
+      .orderBy("lsn")
+  }
+
+  /** A DSL-compiled route (the reference's XPathFilter,
+    * suro-core/.../routing/XPathFilter.java:40-63): purchases and signups
+    * in a value band, key-aliased.
+    */
+  def routeDsl(spark: SparkSession, dir: String): DataFrame = {
+    val pred = graft.dsl.FilterDsl.compile(
+      """xpath("event_type") in ("purchase", "signup") and xpath("value") between (10, 100)""")
+    events(spark, dir).filter(pred)
+      .select(col("event_id"), col("event_type"), col("value"),
+        lit("funnel").as("routed_to"))
+      .orderBy("event_id")
+  }
+
+  /** Quarantine stand-in for the reference's CRC-reject path
+    * (MessageSetProcessor.java:125-182): events failing validation are
+    * diverted, not dropped.
+    */
+  def quarantine(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .filter(col("event_type") === "error" && col("value") < 20.0)
+      .select(col("event_id"), col("user_id"),
+        lit("validation_failed").as("reason"))
+      .orderBy("event_id")
+
+  /** Per-micro-batch lineage aggregates (offset range + op counts) — the
+    * notice/lineage record as a relational operator (batch = lsn div 250).
+    */
+  def lineageStats(spark: SparkSession, dir: String): DataFrame =
+    changes(spark, dir)
+      .groupBy((col("lsn") / 250).cast("long").as("batch_id"))
+      .agg(
+        min("lsn").as("start_lsn"), max("lsn").as("end_lsn"),
+        sum(when(col("op") === "I", 1L).otherwise(0L)).as("inserts"),
+        sum(when(col("op") === "U", 1L).otherwise(0L)).as("updates"),
+        sum(when(col("op") === "D", 1L).otherwise(0L)).as("deletes"),
+        count(lit(1)).as("n_events"),
+        sum(length(col("text"))).as("payload_chars"))
+      .orderBy("batch_id")
+
+  /** Schema-evolution audit: tool values only exist at-or-after the
+    * evolution LSN; counts per tool value.
+    */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame =
+    changes(spark, dir)
+      .groupBy(col("tool"))
+      .agg(count(lit(1)).as("n"), min("lsn").as("first_lsn"), max("lsn").as("last_lsn"))
+      .orderBy(col("tool").asc_nulls_first)
+
+  /** Sessionization by inactivity gap (1 hour) per user — the event-time
+    * windowing operator the reference lacks but a transcript pipeline
+    * needs; lag + cumulative sum over a window.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapped = events(spark, dir)
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_millis(col("ts")) - unix_millis(col("prev_ts")) > 3600000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq",
+        sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    gapped.groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("n_events"),
+        unix_millis(min("ts")).as("start_ms"),
+        unix_millis(max("ts")).as("end_ms"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  /** Tumbling 1-hour event-time window aggregate (Structured Streaming's
+    * windowed agg shape, computed identically in batch).
+    */
+  def windowAgg(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        cast2(sum("value")).as("sum_value_e2"))
+      .select(unix_millis(col("w.start")).as("window_start_ms"),
+        col("event_type"), col("n"), col("sum_value_e2"))
+      .orderBy("window_start_ms", "event_type")
+
+  /** Scaled-bigint rounding for float-safe oracle comparison. */
+  def cast2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(c * 100).cast("long")
+}
