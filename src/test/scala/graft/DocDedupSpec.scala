@@ -1,0 +1,120 @@
+package graft
+
+import graft.ann.Ann
+import graft.dedup.DocDedup
+import graft.mm.Multimodal
+import graft.textops.TextOps
+import org.apache.spark.sql.functions._
+
+/** Behavioral specs for the training-data operators on crafted fixtures —
+  * the oracle gate checks engine-vs-DuckDB equality on the driver tables;
+  * these check the operators actually FIND what they claim to find
+  * (near-dup recall, LSH candidate containment, quality ordering).
+  */
+class DocDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Crafted corpus: 0/1 near-identical, 2 exact copy of 0, 3/4 unrelated. */
+  private lazy val dir: String = {
+    val d = tmpDir("docs-fixture")
+    val base = "the quick brown fox jumps over the lazy dog while the " +
+      "cat sleeps on the warm mat near the old wooden door of the house"
+    val docs = Seq(
+      (0L, base, "en", "web", base.length.toLong),
+      (1L, base.replace("warm mat", "cold mat"), "en", "web", 0L),
+      (2L, base, "en", "crawl", base.length.toLong),
+      (3L, "completely different text about spark catalyst optimizer rules " +
+        "and whole stage code generation for columnar execution engines " +
+        "with vectorized parquet readers and shuffle partitioning", "en", "web", 0L),
+      (4L, "short note", "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("exact dedup: identical texts share a canonical id") {
+    val rows = DocDedup.exact(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    assert(rows(0L) == (0L, false))
+    assert(rows(2L) == (0L, true)) // copy of doc 0, canonicalized
+    assert(rows(1L)._2 == false)   // near-dup is NOT an exact dup
+  }
+
+  test("n-gram Jaccard finds the near-dup pair and not unrelated docs") {
+    val pairs = DocDedup.ngramJaccardPairs(spark, dir, threshold = 0.5)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash estimate tracks true jaccard; LSH candidates contain high-sim pairs") {
+    val lsh = DocDedup.lshPairs(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // exact duplicates agree on every minhash
+    assert(lsh((0L, 2L)) == 10000L)
+    // the near-dup pair must be surfaced by LSH with high estimate
+    assert(lsh.contains((0L, 1L)) && lsh((0L, 1L)) >= 5000L)
+    assert(!lsh.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash: identical docs get identical hashes, near-dups small hamming distance") {
+    val sh = DocDedup.simhash(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) == sh(2L))
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(0L), sh(1L)) <= 6)
+    assert(hamming(sh(0L), sh(3L)) > hamming(sh(0L), sh(1L)))
+  }
+
+  test("quality score ranks a stopword-rich doc above a symbol-heavy one") {
+    val d = tmpDir("docs-quality")
+    Seq(
+      (0L, "the cat and the dog are in the house with a mat", "en", "w", 0L),
+      (1L, "@@@ ### !!! $$$ %%% ^^^ &&& *** ((( )))", "en", "w", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val q = TextOps.qualityScore(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("quality_e4")).toMap
+    assert(q(0L) > q(1L))
+  }
+
+  test("ANN: brute-force top-k finds the planted nearest neighbor; LSH buckets collide for it") {
+    val d = tmpDir("ann-fixture")
+    val rnd = new scala.util.Random(7)
+    def unit(v: Array[Float]): Array[Float] = {
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    val base = unit(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val nearTwin = unit(base.zipWithIndex.map { case (x, i) =>
+      x + (if (i == 0) 0.01f else 0f) })
+    val vecs = (0 until 40).map { i =>
+      val v =
+        if (i == 0) base
+        else if (i == 1) nearTwin
+        else unit(Array.fill(64)(rnd.nextGaussian().toFloat))
+      (i.toLong, v.toSeq, i % 4)
+    }.toDF("vec_id", "embedding", "label")
+    vecs.write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+
+    val top = Ann.bruteForceTopK(spark, d, numQueries = 1, k = 1).collect()
+    assert(top.length == 1 && top(0).getAs[Long]("neighbor_id") == 1L)
+
+    val buckets = Ann.lshBuckets(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("bucket")).toMap
+    assert(buckets(0L) == buckets(1L)) // near-identical vectors share bucket
+  }
+
+  test("multimodal: batched stub decoder output equals per-row stub over the binary payload") {
+    val feats = Multimodal.decodeFeatures(spark, dir).collect()
+    val raw = Multimodal.mediaTable(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    feats.foreach { f =>
+      val payload = raw(f.getLong(0))
+      val (w, h, fr) = Multimodal.StubDecoder.decode(payload)
+      assert(f.getAs[Int]("n_bytes") == payload.length)
+      assert(f.getAs[Int]("width") == w && f.getAs[Int]("height") == h
+        && f.getAs[Int]("frames") == fr)
+    }
+  }
+}
