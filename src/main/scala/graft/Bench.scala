@@ -49,7 +49,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val numEvents = sys.env.getOrElse("SPARK_GRAFT_BENCH_EVENTS", "2000000").toLong
+    val numEvents = sys.env.getOrElse("SPARK_GRAFT_BENCH_EVENTS", "8000000").toLong
     val skipScaling = sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1")
 
     // part 1: query timings
@@ -66,9 +66,9 @@ object Bench {
       val binlogDir = java.nio.file.Files
         .createTempDirectory("graft-bench-binlog").toString
       val cfg = BinlogConfig(numEvents = numEvents,
-        numConversations = math.max(64, (numEvents / 2000).toInt),
+        numConversations = math.max(64, (numEvents / 100).toInt),
         maxTurns = 32, segmentSize = numEvents / 8, dupPct = 1,
-        evolveAtLsn = numEvents / 2)
+        evolveAtLsn = numEvents / 2, filesPerSegment = 32)
       BinlogGenerator.writeSegments(spark0, cfg, binlogDir)
       spark0.stop()
       SparkSession.clearActiveSession()

@@ -132,8 +132,11 @@ object MergeInto {
         if (n <= broadcastKeyLimit) broadcast(df) else df
 
       // --- per-key existing-LSN guard (column-pruned scan of touched files)
+      // For an ordered source the HWM filter already guarantees every batch
+      // event is strictly newer than anything applied, so the guard is
+      // skipped — one fewer scan+join per micro-batch.
       val winners: DataFrame =
-        if (touched.isEmpty) deduped
+        if (touched.isEmpty || orderedSource) deduped
         else {
           val keyLsnSchema = StructType(physicalSchema.fields.filter(f =>
             Model.keyColumns.contains(f.name) || f.name == Model.lsnColumn))
@@ -157,9 +160,11 @@ object MergeInto {
 
       // Winning deletes persist as tombstones (payload nulled), so a later
       // redelivery of an older change for the key loses the LSN comparison
-      // instead of resurrecting the row.
+      // instead of resurrecting the row. An ordered source needs no
+      // tombstones — the HWM filter already makes deletes final — so they
+      // are skipped there to keep the table from accreting dead rows.
       val upsertRows = conform(
-        winners
+        (if (orderedSource) winners.filter(col("op") =!= "D") else winners)
           .withColumn(Model.lsnColumn, col(Model.ordColumn))
           .withColumn(Model.deletedColumn, col("op") === "D"),
         physicalSchema)
@@ -205,38 +210,45 @@ object MergeInto {
     }: _*)
   }
 
-  /** Per-file stats for the manifest: one column-pruned scan over only the
-    * newly written files (reads just the key columns). At production scale
-    * this becomes a parquet-footer read — same numbers, zero data IO.
+  /** Per-file stats for the manifest straight from the parquet footers
+    * (row counts + conv_id column min/max): metadata-only, no data IO and
+    * no Spark job — exactly how Iceberg collects manifest stats.
     */
   private def collectFileStats(spark: SparkSession, staging: String,
       schema: StructType): Seq[DataFileMeta] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
     val bucketRe = ".*/bucket=(\\d+)/[^/]+$".r
     val stagingPath = Paths.get(staging)
     if (!Files.exists(stagingPath)) return Nil
-    val files = Files.walk(stagingPath).iterator().asScala
+    val conf = spark.sessionState.newHadoopConf()
+    Files.walk(stagingPath).iterator().asScala
       .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
-      .map(_.toString).toSeq
-    if (files.isEmpty) return Nil
-    val keyOnly = StructType(schema.fields.filter(f => Model.keyColumns.contains(f.name)))
-    spark.read.schema(keyOnly).parquet(files: _*)
-      .groupBy(input_file_name().as("path"))
-      .agg(count(lit(1)).as("rows"), min("conv_id").as("minKey"), max("conv_id").as("maxKey"))
-      .collect().toSeq
-      .map { r =>
-        val path = normalize(r.getAs[String]("path"))
-        val bucket = path match {
-          case bucketRe(b) => b.toInt
-          case _ => -1
-        }
-        DataFileMeta(path, r.getAs[Long]("rows"), bucket,
-          r.getAs[String]("minKey"), r.getAs[String]("maxKey"))
+      .map(_.toString).toSeq.sorted
+      .map { f =>
+        val reader = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new HPath(f), conf))
+        try {
+          val blocks = reader.getFooter.getBlocks.asScala
+          val rows = blocks.map(_.getRowCount).sum
+          val keyStats = blocks.flatMap(_.getColumns.asScala
+            .filter(_.getPath.toDotString == "conv_id")
+            .map(_.getStatistics))
+            .collect { case s: org.apache.parquet.column.statistics.BinaryStatistics
+              if !s.isEmpty => (s.genericGetMin.toStringUsingUTF8,
+                s.genericGetMax.toStringUsingUTF8) }
+          val bucket = f match {
+            case bucketRe(b) => b.toInt
+            case _ => -1
+          }
+          DataFileMeta(f, rows, bucket,
+            if (keyStats.isEmpty) "" else keyStats.map(_._1).min,
+            if (keyStats.isEmpty) "￿" else keyStats.map(_._2).max)
+        } finally reader.close()
       }
+      .filter(_.rows > 0)
   }
-
-  private def normalize(sparkPath: String): String =
-    if (sparkPath.startsWith("file:")) Paths.get(new java.net.URI(sparkPath)).toString
-    else sparkPath
 
   /** Canonical change-event projection (lsn, op, payload...). */
   def changeColumns: Seq[Column] =

@@ -27,7 +27,11 @@ case class BinlogConfig(
     pDelete: Double = 0.05,
     dupPct: Int = 1,
     evolveAtLsn: Long = Long.MaxValue,
-    segmentSize: Long = 1000L) {
+    segmentSize: Long = 1000L,
+    /** parquet files per segment dir — sets the read parallelism a consumer
+      * sees; a real binlog tail lands as many small files.
+      */
+    filesPerSegment: Int = 8) {
   def numSegments: Int = ((numEvents + segmentSize - 1) / segmentSize).toInt
 }
 
@@ -112,7 +116,7 @@ object BinlogGenerator {
     deliveries(spark, cfg)
       .toDF("segment", "ev")
       .selectExpr("segment", "ev.*")
-      .repartitionByRange(math.max(1, cfg.numSegments),
+      .repartitionByRange(math.max(1, cfg.numSegments * cfg.filesPerSegment),
         org.apache.spark.sql.functions.col("segment"),
         org.apache.spark.sql.functions.col("lsn"))
       .sortWithinPartitions("segment", "lsn")
