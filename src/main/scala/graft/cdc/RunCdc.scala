@@ -77,6 +77,16 @@ object RunCdc {
       val p = new CdcPipeline(PipelineConfig("", args(1)))
       p.lineage(spark).show(100, truncate = false)
 
+    case "compact" =>
+      val table = new graft.table.ChronicleTable(args(1))
+      val r = graft.ops.Compaction(spark, table,
+        maxFilesPerBucket = if (args.length > 2) args(2).toInt else 4,
+        tombstoneHorizonLsn =
+          if (args.length > 3) args(3).toLong else Long.MinValue)
+      println(s"compacted ${r.compactedBuckets} buckets: " +
+        s"${r.removedFiles} files -> ${r.addedFiles}, " +
+        s"dropped ${r.droppedTombstones} tombstones; now v${r.snapshot.version}")
+
     // route <binlogDir> <routesJsonFile> <outDir>: fan the change stream out
     // to per-sink parquet dirs through the filter DSL (the reference's
     // router -> LocalFileSink path, MessageRouter.java:60-102).

@@ -150,16 +150,19 @@ object DocDedup {
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val toks = TextOps.tokensCol(col("text"))
+    // One aggregation pass with 32 codegen'd sum columns instead of a x32
+    // row explosion: the per-token rows shuffle once, each bit's balance is
+    // a plain hash-aggregate column.
+    val bitSums = (0 until 32).map(j =>
+      sum(expr(s"(shiftright(h, $j) & 1) * 2 - 1")).as(s"s$j"))
+    val hashBits = (0 until 32).map(j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
     docs(spark, dir)
       .select(col("doc_id"), explode(toks).as("t"))
       .withColumn("h", md5Long(col("t")))
-      .select(col("doc_id"), col("h"),
-        explode(sequence(lit(0), lit(31))).as("j"))
-      .groupBy("doc_id", "j")
-      .agg(sum(expr("(shiftright(h, cast(j as int)) & 1) * 2 - 1")).as("s"))
       .groupBy("doc_id")
-      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, cast(j as int))"))
-        .otherwise(0L)).as("simhash"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), hashBits.reduce(_ + _).as("simhash"))
       .orderBy("doc_id")
   }
 }

@@ -50,7 +50,8 @@ object Multimodal {
     mediaTable(spark, dir)
       .select(col("doc_id"),
         length(col("payload")).as("n_bytes"),
-        substring(hex(col("payload")), 1, 8).as("head_hex"),
+        // hex only the 4 leading bytes, not the whole payload
+        hex(substring(col("payload"), 1, 4)).as("head_hex"),
         col("media_type"))
       .orderBy("doc_id")
 

@@ -1,0 +1,68 @@
+package graft.ops
+
+import graft.model.Model
+import graft.table._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Table maintenance: small-file compaction and tombstone GC.
+  *
+  * Every micro-batch commit adds a file per touched bucket, so a long
+  * replay accretes many small files (the reference rotates and uploads
+  * small files continuously and relies on downstream batching,
+  * LocalFileSink.java:183-252; a lakehouse table must compact instead).
+  * Compaction rewrites the buckets whose file count exceeds a threshold
+  * into one range-sorted file per shuffle partition and drops tombstones
+  * older than `tombstoneHorizonLsn` (a tombstone only needs to outlive the
+  * maximum redelivery window of the source).
+  *
+  * Runs through the same atomic commit protocol as MERGE, so readers always
+  * see either the old or the new file set, and a crash mid-compaction
+  * leaves only GC-able orphans.
+  */
+object Compaction {
+
+  case class CompactionResult(
+      snapshot: Snapshot,
+      compactedBuckets: Int,
+      removedFiles: Int,
+      addedFiles: Int,
+      droppedTombstones: Long)
+
+  def apply(spark: SparkSession, table: ChronicleTable,
+      maxFilesPerBucket: Int = 4,
+      tombstoneHorizonLsn: Long = Long.MinValue): CompactionResult = {
+    val base = table.loadCurrent()
+    val byBucket = base.files.groupBy(_.bucket)
+    val targets = byBucket.filter(_._2.size > maxFilesPerBucket)
+    if (targets.isEmpty)
+      return CompactionResult(base, 0, 0, 0, 0)
+
+    val schema = base.schema
+    val victims = targets.values.flatten.toSeq
+    val src = spark.read.schema(schema).parquet(victims.map(_.path): _*)
+    val horizonDrop = col(Model.deletedColumn) &&
+      col(Model.lsnColumn) <= lit(tombstoneHorizonLsn)
+    val kept = src.filter(!horizonDrop)
+
+    val staging = table.newStagingDir()
+    // hash-repartition by bucket (not by range): with partitionBy splitting
+    // per bucket value at write, this yields exactly ONE file per compacted
+    // bucket even when buckets collide into a shuffle partition
+    kept
+      .withColumn("bucket", ChronicleTable.bucketExpr("conv_id", base.numBuckets))
+      .repartition(math.max(1, targets.size), col("bucket"))
+      .sortWithinPartitions("bucket", "conv_id", "turn_idx")
+      .write.partitionBy("bucket").mode("overwrite").parquet(staging)
+
+    val added = MergeInto.collectStats(spark, staging)
+    val dropped = victims.map(_.rows).sum - added.map(_.rows).sum
+    val lineage = LineageEntry(s"compact#v${base.version}", "compaction",
+      -1L, -1L, 0, 0, added.map(_.rows).sum, 0L,
+      added.groupBy(_.bucket.toString).map { case (b, fs) => b -> fs.map(_.rows).sum },
+      -1L)
+    val next = table.commit(base, PendingCommit(s"compact#v${base.version}",
+      victims.map(_.path), added, None, lineage))
+    CompactionResult(next, targets.size, victims.size, added.size, dropped)
+  }
+}

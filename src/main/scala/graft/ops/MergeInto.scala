@@ -214,6 +214,9 @@ object MergeInto {
     * (row counts + conv_id column min/max): metadata-only, no data IO and
     * no Spark job — exactly how Iceberg collects manifest stats.
     */
+  private[ops] def collectStats(spark: SparkSession, staging: String): Seq[DataFileMeta] =
+    collectFileStats(spark, staging, null)
+
   private def collectFileStats(spark: SparkSession, staging: String,
       schema: StructType): Seq[DataFileMeta] = {
     import org.apache.hadoop.fs.{Path => HPath}

@@ -1,0 +1,122 @@
+package graft
+
+import graft.cdc.{CdcPipeline, PipelineConfig}
+import graft.ops.{Compaction, Integrity, MergeInto}
+import graft.source.{BinlogConfig, BinlogGenerator}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Table maintenance, integrity and pruning behavior. */
+class TableOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("compaction shrinks file count, preserves state, keeps old snapshots readable") {
+    // Broad batches self-compact (COW rewrites the touched bucket), so file
+    // accumulation needs DISJOINT key ranges: each merge lands in the same
+    // bucket but outside every existing file's range, so pruning keeps the
+    // old files and a new file is appended per merge.
+    val tbl = tmpDir("table-compact")
+    val p = new CdcPipeline(PipelineConfig("", tbl, numBuckets = 1))
+    p.ensureTable()
+    (0 until 10).foreach { i =>
+      val batch = (0 until 20).map { k =>
+        (i * 100L + k, "I", f"conv-$i%02d-$k%04d", 0, "user", s"text $i $k",
+          None: Option[String], new java.sql.Timestamp(0L))
+      }.toDF("lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+      MergeInto(spark, p.table, batch, s"disjoint#$i", "t")
+    }
+    val before = p.table.loadCurrent()
+    assert(before.files.size >= 8, s"expected file accumulation, got ${before.files.size}")
+    val stateBefore = p.currentState(spark).collect().toSeq
+
+    val r = Compaction(spark, p.table, maxFilesPerBucket = 2)
+    assert(r.compactedBuckets > 0)
+    assert(r.snapshot.files.size < before.files.size)
+    assert(p.currentState(spark).collect().toSeq == stateBefore)
+    // time travel to the pre-compaction snapshot still works
+    assert(p.table.read(spark, p.table.loadVersion(before.version)).count() ==
+      before.totalRows)
+    // idempotence: second compaction run at same version threshold is a no-op
+    val r2 = Compaction(spark, p.table, maxFilesPerBucket = 100)
+    assert(r2.compactedBuckets == 0)
+  }
+
+  test("compaction GCs tombstones older than the horizon") {
+    val src = tmpDir("binlog-ts")
+    val tbl = tmpDir("table-ts")
+    val cfg = BinlogConfig(numEvents = 1000, numConversations = 10,
+      segmentSize = 100, pDelete = 0.3)
+    BinlogGenerator.writeSegments(spark, cfg, src)
+    val p = new CdcPipeline(PipelineConfig(src, tbl, segmentsPerBatch = 1, numBuckets = 2))
+    p.ensureTable()
+    // unordered mode writes tombstones
+    (0 until 10).foreach { b =>
+      MergeInto(spark, p.table, p.readBatch(spark, Seq(s"segment=$b")),
+        s"u#$b", "t", orderedSource = false)
+    }
+    val withTombs = p.table.read(spark)
+      .filter(col(graft.model.Model.deletedColumn)).count()
+    assert(withTombs > 0)
+    val state = p.currentState(spark).collect().toSeq
+    val r = Compaction(spark, p.table, maxFilesPerBucket = 0,
+      tombstoneHorizonLsn = Long.MaxValue)
+    assert(r.droppedTombstones == withTombs)
+    assert(p.table.read(spark).filter(col(graft.model.Model.deletedColumn)).count() == 0)
+    assert(p.currentState(spark).collect().toSeq == state)
+  }
+
+  test("merge prunes files: a narrow batch rewrites only intersecting buckets") {
+    val src = tmpDir("binlog-prune")
+    val tbl = tmpDir("table-prune")
+    val cfg = BinlogConfig(numEvents = 4000, numConversations = 200, segmentSize = 2000)
+    BinlogGenerator.writeSegments(spark, cfg, src)
+    val p = new CdcPipeline(PipelineConfig(src, tbl, segmentsPerBatch = 2, numBuckets = 16))
+    p.runAll(spark)
+    val files = p.table.loadCurrent().files.size
+    // single-key batch: must touch at most the files of ONE bucket
+    val one = Seq((999999L, "U", "conv-00000001", 0, "user", "patched", None: Option[String],
+      new java.sql.Timestamp(0L)))
+      .toDF("lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val res = MergeInto(spark, p.table, one, "narrow#1", "t")
+    assert(res.rewrittenFiles < files / 4,
+      s"rewrote ${res.rewrittenFiles} of $files files - pruning ineffective")
+  }
+
+  test("CRC integrity: corrupted payloads divert to quarantine, valid rows pass") {
+    val clean = Seq((1L, "a", "hello"), (2L, "b", "world"), (3L, "c", "spark"))
+      .toDF("lsn", "conv_id", "text")
+    val stamped = Integrity.withCrc(clean)
+    // corrupt row 2's text after stamping (bit-rot in transit)
+    val corrupted = stamped.withColumn("text",
+      when(col("lsn") === 2L, lit("w0rld")).otherwise(col("text")))
+    val (valid, rejected) = Integrity.validate(corrupted)
+    assert(valid.select("lsn").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    assert(rejected.select("lsn").as[Long].collect().toSeq == Seq(2L))
+    // untouched stream validates fully
+    val (v2, r2) = Integrity.validate(stamped)
+    assert(v2.count() == 3 && r2.count() == 0)
+  }
+
+  test("streaming windowed aggregation with watermark over the change stream") {
+    val src = tmpDir("binlog-wm")
+    val cfg = BinlogConfig(numEvents = 2000, numConversations = 10, segmentSize = 500)
+    BinlogGenerator.writeSegments(spark, cfg, src)
+    val stream = spark.readStream
+      .schema(graft.model.Model.changeSchema)
+      .option("maxFilesPerTrigger", 16)
+      .parquet(s"$src/segment=*")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("op"))
+      .agg(count(lit(1)).as("n"))
+    val q = stream.writeStream
+      .format("memory").queryName("wm_counts")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("ckpt-wm"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // closed windows emitted in append mode; totals bounded by event count
+    val emitted = spark.sql("select sum(n) from wm_counts").as[Long].collect()(0)
+    assert(emitted > 0 && emitted <= 2000 + cfg.numEvents / 100)
+  }
+}
