@@ -1,0 +1,86 @@
+package graft
+
+import graft.model.Model
+import graft.ops.MergeInto
+import graft.table.ChronicleTable
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property tests for the merge laws (FIXTURES.md §3):
+  * apply(events) == apply(shuffle(dup(events))) — duplication and delivery
+  * order must not change the final state, and the result must equal the
+  * sequential last-writer-wins fold.
+  */
+class MergeLawsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private case class Ev(lsn: Long, op: String, conv_id: String, turn_idx: Int)
+
+  private val genEvents: Gen[List[Ev]] = for {
+    n <- Gen.choose(1, 60)
+    ops <- Gen.listOfN(n, Gen.frequency(6 -> "I", 3 -> "U", 1 -> "D"))
+    keys <- Gen.listOfN(n, for {
+      c <- Gen.choose(0, 4)
+      t <- Gen.choose(0, 3)
+    } yield (s"conv-$c", t))
+  } yield ops.zip(keys).zipWithIndex.map { case ((op, (c, t)), i) =>
+    Ev(i.toLong, op, c, t)
+  }
+
+  private def toDf(evs: Seq[Ev]) =
+    evs.map(e => (e.lsn, e.op, e.conv_id, e.turn_idx, "user",
+        s"text-${e.lsn}", None: Option[String], new java.sql.Timestamp(e.lsn)))
+      .toDF("lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+  private def applyThroughEngine(evs: Seq[Ev], batches: Int,
+      ordered: Boolean): Seq[(String, Int, String)] = {
+    val root = tmpDir("laws")
+    val table = new ChronicleTable(root)
+    table.create(Model.physicalSchemaV1, numBuckets = 2)
+    val slices =
+      if (batches <= 1) Seq(evs)
+      else evs.grouped(math.max(1, evs.size / batches)).toSeq
+    slices.zipWithIndex.foreach { case (slice, i) =>
+      MergeInto(spark, table, toDf(slice), s"b#$i", "laws",
+        orderedSource = ordered)
+    }
+    table.read(spark)
+      .filter(!org.apache.spark.sql.functions.col(Model.deletedColumn))
+      .collect()
+      .map(r => (r.getAs[String]("conv_id"), r.getAs[Int]("turn_idx"),
+        r.getAs[String]("text")))
+      .sortBy(x => (x._1, x._2)).toSeq
+  }
+
+  private def oracle(evs: Seq[Ev]): Seq[(String, Int, String)] = {
+    val m = scala.collection.mutable.Map[(String, Int), Ev]()
+    evs.sortBy(_.lsn).foreach { e =>
+      if (e.op == "D") m.remove((e.conv_id, e.turn_idx))
+      else m((e.conv_id, e.turn_idx)) = e
+    }
+    m.values.toSeq.map(e => (e.conv_id, e.turn_idx, s"text-${e.lsn}"))
+      .sortBy(x => (x._1, x._2))
+  }
+
+  private def holds(prop: Prop, n: Int): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n).withWorkers(1), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("ordered replay in batches equals the sequential fold (any batch count)") {
+    holds(Prop.forAllNoShrink(genEvents, Gen.choose(1, 5)) { (evs, batches) =>
+      applyThroughEngine(evs, batches, ordered = true) == oracle(evs)
+    }, 15)
+  }
+
+  test("duplicated + unordered delivery converges to the same state (tombstone path)") {
+    holds(Prop.forAllNoShrink(genEvents, Gen.choose(42L, 46L)) { (evs, seed) =>
+      // duplicate a third of the events and shuffle delivery order across
+      // batches — exactly-once semantics must absorb both
+      val rnd = new scala.util.Random(seed)
+      val dups = evs.filter(_ => rnd.nextInt(3) == 0)
+      val delivered = rnd.shuffle(evs ++ dups)
+      applyThroughEngine(delivered, 3, ordered = false) == oracle(evs)
+    }, 10)
+  }
+}
