@@ -75,6 +75,8 @@ object SparkEntry {
     "q_except" -> ((s, d) => RelationalQueries.customerOnlyNations(s, d)),
     "q_region_join" -> ((s, d) => RelationalQueries.revenueByRegion(s, d)),
     "q_topk" -> ((s, d) => RelationalQueries.topParts(s, d)),
+    "q_cube" -> ((s, d) => RelationalQueries.cubeOrders(s, d)),
+    "q_asof_join" -> ((s, d) => RelationalQueries.asofJoin(s, d)),
     // ------------------------------------------------- text analysis
     "text_tokens" -> ((s, d) => TextOps.tokenCounts(s, d)),
     "text_quality" -> ((s, d) => TextOps.qualityScore(s, d)),
@@ -90,6 +92,7 @@ object SparkEntry {
     "ann_brute_topk" -> ((s, d) => Ann.bruteForceTopK(s, d)),
     "ann_lsh_buckets" -> ((s, d) => Ann.lshBuckets(s, d)),
     "ann_lsh_pairs" -> ((s, d) => Ann.lshCandidatePairs(s, d)),
+    "dedup_embedding_cosine" -> ((s, d) => Ann.embeddingNearDup(s, d)),
     // ------------------------------------------------- multimodal plumbing
     "mm_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d)),
     "mm_decode_features" -> ((s, d) => Multimodal.decodeFeatures(s, d)
@@ -231,6 +234,20 @@ object SparkEntry {
     "q_topk" ->
       """SELECT p_partkey, p_name, round(p_retailprice * 100)::BIGINT AS price_e2
         |FROM part ORDER BY price_e2 DESC, p_partkey LIMIT 10""".stripMargin,
+
+    "q_cube" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+        |  round(avg(o_totalprice) * 100)::BIGINT AS avg_e2
+        |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+        |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |  (SELECT max(c.event_id) FROM events c
+        |   WHERE c.user_id = p.user_id AND c.event_type = 'click'
+        |     AND c.event_id < p.event_id) AS last_click_id
+        |FROM events p WHERE p.event_type = 'purchase'
+        |ORDER BY purchase_id""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id,
@@ -379,6 +396,22 @@ object SparkEntry {
          |JOIN e el ON el.vec_id = l.vec_id JOIN e er ON er.vec_id = r.vec_id
          |WHERE list_sum([el.q[i] * er.q[i] for i in range(1, len(el.q) + 1)]) >= 200000
          |ORDER BY a, b""".stripMargin,
+
+    "dedup_embedding_cosine" ->
+      s"""WITH e AS ($quantizedSql),
+         |x AS (SELECT vec_id, unnest(q) AS x, generate_subscripts(q, 1) - 1 AS j FROM e),
+         |proj AS (SELECT vec_id, p,
+         |    sum((('0x' || substr(md5(p::VARCHAR || '_' || j::VARCHAR), 1, 15))::BIGINT % 2001 - 1000) * x) AS proj
+         |  FROM x, (SELECT unnest(range(0, 12)) AS p) GROUP BY vec_id, p),
+         |bk AS (SELECT vec_id,
+         |    sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+         |  FROM proj GROUP BY vec_id),
+         |pairs AS (SELECT l.vec_id AS a, r.vec_id AS b,
+         |    list_sum([el.q[i] * er.q[i] for i in range(1, len(el.q) + 1)])::BIGINT AS dot_q
+         |  FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+         |  JOIN e el ON el.vec_id = l.vec_id JOIN e er ON er.vec_id = r.vec_id)
+         |SELECT a, b, dot_q // 100 AS cos_e4 FROM pairs
+         |WHERE dot_q >= 250000 ORDER BY a, b""".stripMargin,
 
     "mm_binary_meta" ->
       """SELECT doc_id, octet_length(encode(text))::INT AS n_bytes,

@@ -83,6 +83,16 @@ object Ann {
     * scale path (shuffle by bucket, no N×N cross join). Emits candidate
     * pairs above a quantized-dot threshold.
     */
+  /** Embedding-cosine near-duplicate pairs: LSH-bucketed candidates whose
+    * quantized cosine clears the threshold. Vectors are unit-norm, so
+    * cos ~= dot_q / 1e6; emitted as cos_e4 = dot_q / 100 (integer-exact).
+    */
+  def embeddingNearDup(spark: SparkSession, dir: String,
+      minCosE4: Long = 2500L): DataFrame =
+    lshCandidatePairs(spark, dir, minDotQ = minCosE4 * 100)
+      .select(col("a"), col("b"), expr("dot_q div 100").as("cos_e4"))
+      .orderBy("a", "b")
+
   def lshCandidatePairs(spark: SparkSession, dir: String,
       minDotQ: Long = 200000L): DataFrame = {
     val e = embeddings(spark, dir).select(col("vec_id"), quantized(col("embedding")).as("q"))

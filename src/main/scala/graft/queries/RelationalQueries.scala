@@ -104,6 +104,33 @@ object RelationalQueries {
       .orderBy("r_name")
   }
 
+  /** CUBE grouping sets over two dimensions. */
+  def cubeOrders(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir, "orders")
+      .cube("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("n"), cents(avg("o_totalprice")).as("avg_e2"))
+      .orderBy(col("o_orderpriority").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
+
+  /** As-of join: each purchase event matched to the latest prior click of
+    * the same user (by event_id order) — expressed as a single window pass
+    * over the tagged union instead of a range self-join, so it's one
+    * shuffle by user and scales linearly (the classic streaming-CDC
+    * enrichment shape).
+    */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("last_click_id",
+        last(when(col("event_type") === "click", col("event_id")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("last_click_id"))
+      .orderBy("purchase_id")
+  }
+
   /** Top-k with offsetless deterministic ordering (ORDER BY + LIMIT). */
   def topParts(spark: SparkSession, dir: String): DataFrame =
     read(spark, dir, "part")
