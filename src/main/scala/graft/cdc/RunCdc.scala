@@ -77,6 +77,20 @@ object RunCdc {
       val p = new CdcPipeline(PipelineConfig("", args(1)))
       p.lineage(spark).show(100, truncate = false)
 
+    // stats <tableRoot>: operational metrics of the current snapshot (the
+    // reference's /surosinkstat REST surface, SinkStat.java:29-41, as a
+    // metadata-only report)
+    case "stats" =>
+      val table = new graft.table.ChronicleTable(args(1))
+      val s = table.loadCurrent()
+      println(s"version=${s.version} rows=${s.totalRows} files=${s.files.size} " +
+        s"hwmLsn=${s.hwmLsn} batches=${s.committedBatches.size} " +
+        s"schema=${s.schema.fieldNames.mkString(",")}")
+      s.files.groupBy(_.bucket).toSeq.sortBy(_._1).foreach { case (b, fs) =>
+        println(f"  bucket=$b%-4d files=${fs.size}%-4d rows=${fs.map(_.rows).sum}%-8d " +
+          s"keys=[${fs.map(_.minKey).min} .. ${fs.map(_.maxKey).max}]")
+      }
+
     case "compact" =>
       val table = new graft.table.ChronicleTable(args(1))
       val r = graft.ops.Compaction(spark, table,
