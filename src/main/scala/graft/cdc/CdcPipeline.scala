@@ -79,9 +79,22 @@ class CdcPipeline(val cfg: PipelineConfig) {
   /** Drain all pending segments. Returns number of batches applied. */
   def runAll(spark: SparkSession, maxBatches: Int = Int.MaxValue): Int = {
     var n = 0
-    while (n < maxBatches && runOnce(spark).isDefined) n += 1
+    var done = false
+    while (n < maxBatches && !done) {
+      val t0 = System.nanoTime()
+      runOnce(spark) match {
+        case Some(r) =>
+          n += 1
+          if (verbose) println(f"[cdc] batch applied in ${(System.nanoTime() - t0) / 1e9}%.2fs " +
+            f"(upserts=${r.upserts} deletes=${r.deletes} rewrote=${r.rewrittenFiles} added=${r.addedFiles})")
+        case None => done = true
+      }
+    }
     n
   }
+
+  /** Per-batch timing log (set for profiling / CLI runs). */
+  @volatile var verbose: Boolean = false
 
   /** The Structured Streaming variant of the same pipeline: Spark's file
     * source tracks offsets in its checkpoint, and foreachBatch applies the
@@ -124,7 +137,7 @@ class CdcPipeline(val cfg: PipelineConfig) {
   /** The lineage ledger as a DataFrame (per-batch offsets, counts, checksum). */
   def lineage(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    table.loadCurrent().lineage
+    table.fullLineage()
       .map(l => (l.batchKey, l.source, l.startLsn, l.endLsn, l.upserts,
         l.deletes, l.rowCount, l.checksum, l.snapshotVersion))
       .toDF("batch_key", "source", "start_lsn", "end_lsn", "upserts",

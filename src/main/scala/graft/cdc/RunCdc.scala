@@ -49,6 +49,7 @@ object RunCdc {
         segmentsPerBatch = if (args.length > 3) args(3).toInt else 4,
         numBuckets = if (args.length > 4) args(4).toInt else 16,
         saltBuckets = if (args.length > 5) args(5).toInt else 0))
+      p.verbose = true
       val t0 = System.nanoTime()
       val n = p.runAll(spark)
       val sec = (System.nanoTime() - t0) / 1e9

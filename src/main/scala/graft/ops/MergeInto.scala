@@ -226,10 +226,20 @@ object MergeInto {
     val stagingPath = Paths.get(staging)
     if (!Files.exists(stagingPath)) return Nil
     val conf = spark.sessionState.newHadoopConf()
-    Files.walk(stagingPath).iterator().asScala
+    val paths = Files.walk(stagingPath).iterator().asScala
       .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
       .map(_.toString).toSeq.sorted
-      .map { f =>
+    // footer reads are independent metadata fetches — do them in parallel
+    // (a commit adds O(shuffle partitions) files; sequential opens would be
+    // the dominant fixed cost of small micro-batches)
+    val pool = new java.util.concurrent.ForkJoinPool(
+      math.min(16, math.max(2, paths.size)))
+    try {
+      import scala.collection.parallel.CollectionConverters._
+      val par = paths.par
+      par.tasksupport =
+        new scala.collection.parallel.ForkJoinTaskSupport(pool)
+      par.map { f =>
         val reader = ParquetFileReader.open(
           HadoopInputFile.fromPath(new HPath(f), conf))
         try {
@@ -249,8 +259,8 @@ object MergeInto {
             if (keyStats.isEmpty) "" else keyStats.map(_._1).min,
             if (keyStats.isEmpty) "￿" else keyStats.map(_._2).max)
         } finally reader.close()
-      }
-      .filter(_.rows > 0)
+      }.seq.toSeq.filter(_.rows > 0)
+    } finally pool.shutdown()
   }
 
   /** Canonical change-event projection (lsn, op, payload...). */

@@ -59,6 +59,11 @@ case class Snapshot(
       * correctness comes from committedBatches + last-writer-wins dedup).
       */
     hwmLsn: Long,
+    /** Lineage of the commits made AT this version only (usually one entry).
+      * The full ledger is the concatenation across versions
+      * ([[ChronicleTable.fullLineage]]) — embedding history in every
+      * manifest would make manifest IO quadratic over a long replay.
+      */
     lineage: Seq[LineageEntry]) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   def totalRows: Long = files.map(_.rows).sum
@@ -181,7 +186,7 @@ class ChronicleTable(val root: String) {
       files = base.files.filterNot(f => removed(f.path)) ++ pending.addedFiles,
       committedBatches = base.committedBatches + (pending.batchKey -> (base.version + 1)),
       hwmLsn = math.max(base.hwmLsn, pending.lineage.endLsn),
-      lineage = base.lineage :+ pending.lineage.copy(snapshotVersion = base.version + 1))
+      lineage = Seq(pending.lineage.copy(snapshotVersion = base.version + 1)))
     beforePublishHook(next)
     writeManifest(next) // CREATE_NEW: optimistic-concurrency barrier
     flipPointer(next.version)
@@ -225,6 +230,12 @@ class ChronicleTable(val root: String) {
       minKey: String, maxKey: String): Seq[DataFileMeta] =
     snapshot.files.filter(f =>
       buckets.contains(f.bucket) && f.minKey <= maxKey && f.maxKey >= minKey)
+
+  /** The complete lineage ledger: every commit's entry across all
+    * snapshot versions, in commit order.
+    */
+  def fullLineage(): Seq[LineageEntry] =
+    listVersions.flatMap(v => loadVersion(v).lineage)
 
   /** Delete data files no manifest references (crash leftovers from the
     * stage phase). Returns deleted paths. Mirrors the reference's

@@ -125,7 +125,7 @@ class CdcPipelineSpec extends SparkSpec {
     assert(tableRows(pc) == tableRows(pa))
     assert(tableRows(pc) == oracleRows(cfg))
     // no duplicate lineage rows after resume
-    val keys = pc.table.loadCurrent().lineage.map(_.batchKey)
+    val keys = pc.table.fullLineage().map(_.batchKey)
     assert(keys.distinct.length == keys.length)
   }
 
