@@ -50,6 +50,7 @@ object RunCdc {
         numBuckets = if (args.length > 4) args(4).toInt else 16,
         saltBuckets = if (args.length > 5) args(5).toInt else 0))
       p.verbose = true
+      graft.ops.MergeInto.profile = sys.env.get("GRAFT_PROFILE").contains("1")
       val t0 = System.nanoTime()
       val n = p.runAll(spark)
       val sec = (System.nanoTime() - t0) / 1e9

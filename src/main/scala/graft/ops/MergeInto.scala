@@ -58,11 +58,19 @@ case class MergeResult(
   */
 object MergeInto {
 
-  /** Broadcast the anti-join key side when the deduped batch has fewer rows
-    * than this. CDC micro-batches virtually always qualify; above it the
-    * plan falls back to a shuffled join (AQE may still re-plan it).
+  /** Broadcast the anti-join key side when the deduped batch has fewer keys
+    * than this; larger batches use a shuffled join instead. Building a
+    * multi-million-entry broadcast hash relation is SERIAL driver work per
+    * micro-batch — measured to cap cluster scaling long before the shuffle
+    * would — so the cutoff stays modest (typical CDC micro-batches are far
+    * below it; a bulk backfill is exactly the case where the shuffled join
+    * is right).
     */
-  val broadcastKeyLimit: Long = 20L * 1000 * 1000
+  val broadcastKeyLimit: Long =
+    sys.env.getOrElse("GRAFT_BROADCAST_KEY_LIMIT", "1000000").toLong
+
+  /** Phase-timing log for profiling runs. */
+  @volatile var profile: Boolean = false
 
   def apply(spark: SparkSession, table: ChronicleTable, batch: DataFrame,
       batchKey: String, source: String, saltBuckets: Int = 0,
@@ -102,8 +110,14 @@ object MergeInto {
       .cache()
 
     try {
+      def tick[T](name: String)(f: => T): T = {
+        val t0 = System.nanoTime()
+        val r = f
+        if (profile) println(f"[merge] $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        r
+      }
       // --- one metadata pass over the (small) deduped batch ---------------
-      val stats = deduped.agg(
+      val stats = tick("stats")(deduped.agg(
         min(Model.ordColumn).as("minLsn"), max(Model.ordColumn).as("maxLsn"),
         min("conv_id").as("minKey"), max("conv_id").as("maxKey"),
         sum(when(col("op") === "D", 1L).otherwise(0L)).as("deletes"),
@@ -111,7 +125,7 @@ object MergeInto {
         coalesce(bit_xor(when(col("op") =!= "D",
           xxhash64(col("conv_id"), col("turn_idx"), col("text")))), lit(0L))
           .as("checksum"),
-        collect_set("__bucket").as("buckets")).collect()(0)
+        collect_set("__bucket").as("buckets")).collect()(0))
 
       val n = stats.getAs[Long]("n")
       if (n == 0) {
@@ -177,13 +191,13 @@ object MergeInto {
       val staging = table.newStagingDir()
       val parts = math.max(1, math.min(
         spark.conf.get("spark.sql.shuffle.partitions").toInt, buckets.size * 4))
-      newData
+      tick("write")(newData
         .withColumn("bucket", ChronicleTable.bucketExpr("conv_id", base.numBuckets))
         .repartitionByRange(parts, col("bucket"), col("conv_id"), col("turn_idx"))
         .sortWithinPartitions("bucket", "conv_id", "turn_idx")
-        .write.partitionBy("bucket").mode("overwrite").parquet(staging)
+        .write.partitionBy("bucket").mode("overwrite").parquet(staging))
 
-      val added = collectFileStats(spark, staging, physicalSchema)
+      val added = tick("footers")(collectFileStats(spark, staging, physicalSchema))
 
       val lineage = LineageEntry(batchKey, source,
         stats.getAs[Long]("minLsn"), stats.getAs[Long]("maxLsn"),
