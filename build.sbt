@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // throughput collector: batch pipelines scale better across threads than
+  // with default G1 (lower allocation-stall overhead in wide local mode)
+  "-XX:+UseParallelGC",
 )
