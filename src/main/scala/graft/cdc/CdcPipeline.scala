@@ -19,7 +19,21 @@ case class PipelineConfig(
     sourceId: String = "binlog",
     segmentsPerBatch: Int = 4,
     numBuckets: Int = 16,
-    saltBuckets: Int = 0)
+    saltBuckets: Int = 0,
+    /** Optional DSL filter gating which change events reach the table
+      * (a route in suro terms); re-read from this file at EVERY batch, so
+      * edits hot-swap without restart — the reference's dynamic-property
+      * routing-map reload (DynamicPropertySinkConfigurator.java:41-67).
+      * File content: one filter-DSL expression (see [[graft.dsl.FilterDsl]]).
+      */
+    routeFilterFile: Option[String] = None,
+    /** Divert events failing validation (null/empty key or turn_idx < 0) to
+      * <tableRoot>/quarantine/ parquet instead of silently dropping them —
+      * the reference counts drops (MessageRouter.java:61-65); we keep them
+      * inspectable. Off by default: the emptiness probe costs one extra
+      * pass over each batch, which a trusted-source replay shouldn't pay.
+      */
+    quarantine: Boolean = false)
 
 /** The CDC micro-batch driver: binlog segment dirs -> dedup -> MERGE ->
   * snapshot commit, resumable from the table's own commit ledger.
@@ -65,6 +79,35 @@ class CdcPipeline(val cfg: PipelineConfig) {
       .select(MergeInto.changeColumns: _*)
   }
 
+  private def invalidCond =
+    col("conv_id").isNull || col("conv_id") === "" || col("turn_idx") < 0
+
+  /** Route the raw batch: quarantine invalid events, apply the (hot
+    * reloaded) route filter. Returns the stream that reaches the MERGE.
+    */
+  def route(spark: SparkSession, batch: DataFrame, batchId: Int): DataFrame = {
+    val validated =
+      if (!cfg.quarantine) batch
+      else {
+        val bad = batch.filter(invalidCond)
+        // cheap emptiness probe via limit(1) — avoids a full count when
+        // (as almost always) nothing is quarantined
+        if (bad.limit(1).count() > 0) {
+          bad.write.mode("overwrite")
+            .parquet(s"${cfg.tableRoot}/quarantine/batch=$batchId")
+        }
+        batch.filter(!invalidCond)
+      }
+    cfg.routeFilterFile match {
+      case Some(f) if Files.exists(Paths.get(f)) =>
+        // re-compiled every batch: editing the file hot-swaps the route
+        val dsl = Files.readString(Paths.get(f)).trim
+        if (dsl.isEmpty) validated
+        else validated.filter(graft.dsl.FilterDsl.compile(dsl))
+      case _ => validated
+    }
+  }
+
   /** Process exactly one pending batch. None = nothing pending. */
   def runOnce(spark: SparkSession): Option[MergeResult] = {
     ensureTable()
@@ -72,7 +115,8 @@ class CdcPipeline(val cfg: PipelineConfig) {
     val next = lastCommittedBatch() + 1
     val slice = segs.slice(next * cfg.segmentsPerBatch, (next + 1) * cfg.segmentsPerBatch)
     if (slice.isEmpty) None
-    else Some(MergeInto(spark, table, readBatch(spark, slice), batchKey(next),
+    else Some(MergeInto(spark, table,
+      route(spark, readBatch(spark, slice), next), batchKey(next),
       source = slice.mkString(","), saltBuckets = cfg.saltBuckets))
   }
 

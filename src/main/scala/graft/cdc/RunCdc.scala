@@ -48,7 +48,8 @@ object RunCdc {
       val p = new CdcPipeline(PipelineConfig(args(1), args(2),
         segmentsPerBatch = if (args.length > 3) args(3).toInt else 4,
         numBuckets = if (args.length > 4) args(4).toInt else 16,
-        saltBuckets = if (args.length > 5) args(5).toInt else 0))
+        saltBuckets = if (args.length > 5) args(5).toInt else 0,
+        routeFilterFile = if (args.length > 6) Some(args(6)) else None))
       p.verbose = true
       graft.ops.MergeInto.profile = sys.env.get("GRAFT_PROFILE").contains("1")
       val t0 = System.nanoTime()
