@@ -77,6 +77,7 @@ object SparkEntry {
     "q_topk" -> ((s, d) => RelationalQueries.topParts(s, d)),
     "q_cube" -> ((s, d) => RelationalQueries.cubeOrders(s, d)),
     "q_asof_join" -> ((s, d) => RelationalQueries.asofJoin(s, d)),
+    "q_profile" -> ((s, d) => RelationalQueries.eventProfile(s, d)),
     // ------------------------------------------------- text analysis
     "text_tokens" -> ((s, d) => TextOps.tokenCounts(s, d)),
     "text_quality" -> ((s, d) => TextOps.qualityScore(s, d)),
@@ -396,6 +397,16 @@ object SparkEntry {
          |JOIN e el ON el.vec_id = l.vec_id JOIN e er ON er.vec_id = r.vec_id
          |WHERE list_sum([el.q[i] * er.q[i] for i in range(1, len(el.q) + 1)]) >= 200000
          |ORDER BY a, b""".stripMargin,
+
+    "q_profile" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS n_users,
+        |  count(*) AS n_events,
+        |  round(quantile_cont(value, 0.5) * 100)::BIGINT AS median_value_e2,
+        |  round(quantile_cont(value, 0.95) * 100)::BIGINT AS p95_value_e2,
+        |  round(min(value) * 100)::BIGINT AS min_e2,
+        |  round(max(value) * 100)::BIGINT AS max_e2
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "dedup_embedding_cosine" ->
       s"""WITH e AS ($quantizedSql),

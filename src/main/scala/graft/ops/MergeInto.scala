@@ -197,7 +197,7 @@ object MergeInto {
         .sortWithinPartitions("bucket", "conv_id", "turn_idx")
         .write.partitionBy("bucket").mode("overwrite").parquet(staging))
 
-      val added = tick("footers")(collectFileStats(spark, staging, physicalSchema))
+      val added = tick("footers")(collectFileStats(spark, staging))
 
       val lineage = LineageEntry(batchKey, source,
         stats.getAs[Long]("minLsn"), stats.getAs[Long]("maxLsn"),
@@ -229,10 +229,9 @@ object MergeInto {
     * no Spark job — exactly how Iceberg collects manifest stats.
     */
   private[ops] def collectStats(spark: SparkSession, staging: String): Seq[DataFileMeta] =
-    collectFileStats(spark, staging, null)
+    collectFileStats(spark, staging)
 
-  private def collectFileStats(spark: SparkSession, staging: String,
-      schema: StructType): Seq[DataFileMeta] = {
+  private def collectFileStats(spark: SparkSession, staging: String): Seq[DataFileMeta] = {
     import org.apache.hadoop.fs.{Path => HPath}
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile

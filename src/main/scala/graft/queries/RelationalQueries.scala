@@ -104,6 +104,21 @@ object RelationalQueries {
       .orderBy("r_name")
   }
 
+  /** Distinct-count + exact-quantile profile per event type (the dataset
+    * profiling aggregate a training pipeline runs on every ingest).
+    */
+  def eventProfile(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+      .groupBy("event_type")
+      .agg(
+        countDistinct("user_id").as("n_users"),
+        count(lit(1)).as("n_events"),
+        cents(expr("percentile(value, 0.5)")).as("median_value_e2"),
+        cents(expr("percentile(value, 0.95)")).as("p95_value_e2"),
+        cents(min("value")).as("min_e2"),
+        cents(max("value")).as("max_e2"))
+      .orderBy("event_type")
+
   /** CUBE grouping sets over two dimensions. */
   def cubeOrders(spark: SparkSession, dir: String): DataFrame =
     read(spark, dir, "orders")
