@@ -43,7 +43,17 @@ object Bench {
       segmentsPerBatch = 1, numBuckets = 32, saltBuckets = 0))
     val t0 = System.nanoTime()
     p.runAll(spark)
-    (System.nanoTime() - t0) / 1e9
+    val sec = (System.nanoTime() - t0) / 1e9
+    rmTree(tableRoot)
+    sec
+  }
+
+  private def rmTree(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
   }
 
   def main(args: Array[String]): Unit = {
@@ -105,6 +115,7 @@ object Bench {
       val tpLo = numEvents / secLo
       val tpHi = numEvents / secHi
       val eff = (tpHi / tpLo) / 4.0
+      rmTree(binlogDir)
       val trialsJson = runs.map { case (c, t) => f"""[$c,$t%.2f]""" }.mkString("[", ",", "]")
       cdcJson = f""","cdc":{"events":$numEvents,"n_lo":$nLo,"n_hi":$nHi,"sec_lo":$secLo%.2f,"sec_hi":$secHi%.2f,"events_per_sec_lo":${tpLo.toLong},"events_per_sec_hi":${tpHi.toLong},"scaling_efficiency":$eff%.3f,"trials":$trialsJson}"""
     } else spark0.stop()
