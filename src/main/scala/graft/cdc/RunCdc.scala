@@ -40,7 +40,8 @@ object RunCdc {
         numConversations = args(3).toInt,
         segmentSize = args(4).toLong,
         evolveAtLsn = if (args.length > 5) args(5).toLong else Long.MaxValue,
-        dupPct = if (args.length > 6) args(6).toInt else 1)
+        dupPct = if (args.length > 6) args(6).toInt else 1,
+        filesPerSegment = if (args.length > 7) args(7).toInt else 8)
       BinlogGenerator.writeSegments(spark, cfg, dir)
       println(s"generated ${cfg.numEvents} events in ${cfg.numSegments} segments at $dir")
 

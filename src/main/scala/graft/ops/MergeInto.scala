@@ -187,13 +187,23 @@ object MergeInto {
         case None => upsertRows
       }
 
-      // --- write new files, range-clustered for future pruning -------------
+      // --- write new files, sorted within each bucket split -----------------
+      // Hash repartition on (bucket, sub-split), NOT repartitionByRange:
+      // range partitioning runs a sampling job that would execute the whole
+      // merge pipeline a second time — at scale that doubles the pass over
+      // the touched data. The deterministic hash split keeps hot buckets
+      // from serializing into one writer; files stay sorted by key so
+      // row-group stats and the footer min/max remain useful.
       val staging = table.newStagingDir()
       val parts = math.max(1, math.min(
         spark.conf.get("spark.sql.shuffle.partitions").toInt, buckets.size * 4))
+      val splitsPerBucket = math.max(1, parts / math.max(1, buckets.size))
       tick("write")(newData
         .withColumn("bucket", ChronicleTable.bucketExpr("conv_id", base.numBuckets))
-        .repartitionByRange(parts, col("bucket"), col("conv_id"), col("turn_idx"))
+        .withColumn("__split",
+          pmod(xxhash64(col("conv_id"), lit(1)), lit(splitsPerBucket)))
+        .repartition(parts, col("bucket"), col("__split"))
+        .drop("__split")
         .sortWithinPartitions("bucket", "conv_id", "turn_idx")
         .write.partitionBy("bucket").mode("overwrite").parquet(staging))
 
