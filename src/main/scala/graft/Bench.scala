@@ -22,14 +22,18 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   private def session(cores: Int): SparkSession = {
-    val s = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // shuffle scratch on tmpfs when available (models cluster-local NVMe;
+    // the sandbox's single virtio disk otherwise serializes shuffle IO)
+    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+      b.config("spark.local.dir", "/dev/shm/graft-bench-scratch")
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
