@@ -38,9 +38,9 @@ case class PipelineConfig(
 /** The CDC micro-batch driver: binlog segment dirs -> dedup -> MERGE ->
   * snapshot commit, resumable from the table's own commit ledger.
   *
-  * Offset tracking uses a SINGLE ledger: the batch id doubles as the source
-  * offset (batch k = segments [k*spb, (k+1)*spb)), and the committed batch
-  * ids live in the table manifest itself. There is no second checkpoint to
+  * Offset tracking uses a SINGLE ledger living in the table manifest
+  * itself: each commit records the highest consumed segment number
+  * (per-source cursor) plus its batchKey. There is no second checkpoint to
   * fall out of sync with the data — the two-ledger crash window the
   * reference closes with notice-remove-after-success (S3Consumer.java:258-287)
   * is closed here by construction.
@@ -59,18 +59,24 @@ class CdcPipeline(val cfg: PipelineConfig) {
       .map(_.getFileName.toString)
       .filter(_.startsWith("segment="))
       .toSeq
-      .sortBy(s => s.stripPrefix("segment=").toInt)
+      .sortBy(segNum)
   }
+
+  def segNum(segment: String): Long = segment.stripPrefix("segment=").toLong
 
   def batchKey(batchId: Int): String = s"${cfg.sourceId}#$batchId"
 
-  /** Highest committed batch id (resume point). */
+  /** Highest committed batch id (for batch-key allocation): max over the
+    * explicit ledger window and the compacted contiguous floor.
+    */
   def lastCommittedBatch(): Int = {
+    val snap = table.loadCurrent()
     val prefix = s"${cfg.sourceId}#"
-    table.loadCurrent().committedBatches.keys
+    val fromKeys = snap.committedBatches.keys
       .filter(_.startsWith(prefix))
       .map(_.stripPrefix(prefix).toInt)
       .foldLeft(-1)(math.max)
+    math.max(fromKeys, snap.floors.getOrElse(cfg.sourceId, -1L).toInt)
   }
 
   def readBatch(spark: SparkSession, segments: Seq[String]): DataFrame = {
@@ -79,24 +85,32 @@ class CdcPipeline(val cfg: PipelineConfig) {
       .select(MergeInto.changeColumns: _*)
   }
 
+  // Null-safe validation split: a NULL predicate must land a row in
+  // QUARANTINE, never in neither side (three-valued logic would silently
+  // drop a null-keyed row from both filters — the exact failure the
+  // quarantine option exists to prevent).
   private def invalidCond =
-    col("conv_id").isNull || col("conv_id") === "" || col("turn_idx") < 0
+    col("conv_id").isNull || col("conv_id") === "" ||
+      col("turn_idx").isNull || col("turn_idx") < 0
 
   /** Route the raw batch: quarantine invalid events, apply the (hot
     * reloaded) route filter. Returns the stream that reaches the MERGE.
+    * The caller is expected to have persisted `batch` when quarantine is on
+    * (runOnce does) so the two filter branches read the cache, not the
+    * source — one source scan per batch.
     */
   def route(spark: SparkSession, batch: DataFrame, batchId: Int): DataFrame = {
     val validated =
       if (!cfg.quarantine) batch
       else {
-        val bad = batch.filter(invalidCond)
-        // cheap emptiness probe via limit(1) — avoids a full count when
-        // (as almost always) nothing is quarantined
-        if (bad.limit(1).count() > 0) {
+        val bad = batch.filter(coalesce(invalidCond, lit(true)))
+        // emptiness probe runs against the persisted batch (cheap); skip the
+        // write entirely in the common nothing-quarantined case
+        if (!bad.isEmpty) {
           bad.write.mode("overwrite")
             .parquet(s"${cfg.tableRoot}/quarantine/batch=$batchId")
         }
-        batch.filter(!invalidCond)
+        batch.filter(coalesce(!invalidCond, lit(false)))
       }
     cfg.routeFilterFile match {
       case Some(f) if Files.exists(Paths.get(f)) =>
@@ -108,16 +122,44 @@ class CdcPipeline(val cfg: PipelineConfig) {
     }
   }
 
-  /** Process exactly one pending batch. None = nothing pending. */
+  /** Highest consumed segment number for this source (resume point).
+    *
+    * Tables written before the cursor existed recorded only batch ids; for
+    * those the legacy index mapping (batch k = segments [k*spb,(k+1)*spb))
+    * is what actually ran, so it seeds the cursor — new commits record the
+    * real consumed segment number and partial trailing batches become safe.
+    */
+  def consumedSegment(): Long =
+    table.loadCurrent().cursors.get(cfg.sourceId) match {
+      case Some(c) => c // authoritative: what was actually consumed
+      case None => // pre-cursor table: the index mapping is what ran
+        (lastCommittedBatch() + 1).toLong * cfg.segmentsPerBatch - 1
+    }
+
+  /** Process exactly one pending batch. None = nothing pending.
+    *
+    * Segments are selected by segment NUMBER strictly past the persisted
+    * cursor — not by position in the current listing — so a partial
+    * trailing batch committed while the source was drained cannot cause
+    * segments that arrive later to be skipped.
+    */
   def runOnce(spark: SparkSession): Option[MergeResult] = {
     ensureTable()
-    val segs = listSegments()
-    val next = lastCommittedBatch() + 1
-    val slice = segs.slice(next * cfg.segmentsPerBatch, (next + 1) * cfg.segmentsPerBatch)
+    val cursor = consumedSegment()
+    val slice = listSegments().filter(s => segNum(s) > cursor)
+      .take(cfg.segmentsPerBatch)
     if (slice.isEmpty) None
-    else Some(MergeInto(spark, table,
-      route(spark, readBatch(spark, slice), next), batchKey(next),
-      source = slice.mkString(","), saltBuckets = cfg.saltBuckets))
+    else {
+      val next = lastCommittedBatch() + 1
+      val raw = readBatch(spark, slice)
+      // quarantine splits the batch twice; persist so both read the cache
+      if (cfg.quarantine) raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try Some(MergeInto(spark, table,
+        route(spark, raw, next), batchKey(next),
+        source = slice.mkString(","), saltBuckets = cfg.saltBuckets,
+        cursor = Some(cfg.sourceId -> slice.map(segNum).max)))
+      finally if (cfg.quarantine) raw.unpersist()
+    }
   }
 
   /** Drain all pending segments. Returns number of batches applied. */

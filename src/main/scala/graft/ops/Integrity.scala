@@ -19,9 +19,13 @@ object Integrity {
   def withCrc(df: DataFrame): DataFrame =
     df.withColumn(crcColumn, crc32(col("text").cast("binary")))
 
-  /** Split a stamped stream into (valid, rejected). */
+  /** Split a stamped stream into (valid, rejected). Null-safe: a row whose
+    * predicate evaluates to NULL (null text or missing CRC) is REJECTED,
+    * never silently dropped from both sides by three-valued logic.
+    */
   def validate(df: DataFrame): (DataFrame, DataFrame) = {
-    val ok = crc32(col("text").cast("binary")) === col(crcColumn)
+    val ok = coalesce(
+      crc32(col("text").cast("binary")) === col(crcColumn), lit(false))
     (df.filter(ok).drop(crcColumn), df.filter(!ok))
   }
 }

@@ -51,9 +51,13 @@ case class MergeResult(
   *      broadcast of the batch keys — result is at most batch-sized;
   *   5. survivors = touched-files LEFT ANTI JOIN broadcast(winner keys):
   *      table data never shuffles, it streams through whole-stage codegen;
-  *   6. new files are range-partitioned by (bucket, conv_id, turn_idx) and
-  *      sorted, so each file covers a narrow key range — which is what keeps
-  *      step 3 cheap for the NEXT merge;
+  *   6. new files are hash-split within each bucket and sorted by
+  *      (bucket, conv_id, turn_idx) inside every file, so parquet row-group
+  *      stats stay tight; pruning granularity for the NEXT merge is the
+  *      bucket (per-file conv_id bounds inside a bucket are near-full by
+  *      construction of the hash split — the single write pass is worth more
+  *      than narrow per-file ranges, which would need a second
+  *      sampling/range pass);
   *   7. commit is a metadata-only atomic pointer flip recording the batchKey.
   */
 object MergeInto {
@@ -74,9 +78,10 @@ object MergeInto {
 
   def apply(spark: SparkSession, table: ChronicleTable, batch: DataFrame,
       batchKey: String, source: String, saltBuckets: Int = 0,
-      orderedSource: Boolean = true): MergeResult = {
+      orderedSource: Boolean = true,
+      cursor: Option[(String, Long)] = None): MergeResult = {
     val base = table.loadCurrent()
-    if (base.committedBatches.contains(batchKey)) {
+    if (ChronicleTable.isCommitted(base, batchKey)) {
       // Exactly-once: replay of an already-applied batch is a no-op.
       return MergeResult(base, skipped = true, 0, 0, 0, 0)
     }
@@ -130,7 +135,7 @@ object MergeInto {
       val n = stats.getAs[Long]("n")
       if (n == 0) {
         val lineage = LineageEntry(batchKey, source, -1L, -1L, 0, 0, 0, 0L, Map.empty, -1L)
-        val next = table.commit(base, PendingCommit(batchKey, Nil, Nil, None, lineage))
+        val next = table.commit(base, PendingCommit(batchKey, Nil, Nil, None, lineage, cursor))
         return MergeResult(next, skipped = false, 0, 0, 0, 0)
       }
       val deletes = stats.getAs[Long]("deletes")
@@ -158,7 +163,10 @@ object MergeInto {
             .join(maybeBroadcast(deduped.select(Model.keyColumns.map(col): _*)),
               Model.keyColumns, "left_semi")
             .withColumnRenamed(Model.lsnColumn, "__existing_lsn")
-          deduped.join(broadcast(contested), Model.keyColumns, "left")
+          // contested is at most batch-sized, which a bulk unordered backfill
+          // can push past the broadcast cutoff — gate it like every other
+          // batch-derived side (AQE falls back to a shuffled join).
+          deduped.join(maybeBroadcast(contested), Model.keyColumns, "left")
             .filter(col("__existing_lsn").isNull ||
               col(Model.ordColumn) > col("__existing_lsn"))
             .drop("__existing_lsn")
@@ -207,7 +215,7 @@ object MergeInto {
         .sortWithinPartitions("bucket", "conv_id", "turn_idx")
         .write.partitionBy("bucket").mode("overwrite").parquet(staging))
 
-      val added = tick("footers")(collectFileStats(spark, staging))
+      val added = tick("stats-job")(collectFileStats(spark, staging))
 
       val lineage = LineageEntry(batchKey, source,
         stats.getAs[Long]("minLsn"), stats.getAs[Long]("maxLsn"),
@@ -216,7 +224,7 @@ object MergeInto {
         added.groupBy(_.bucket.toString).map { case (b, fs) => b -> fs.map(_.rows).sum },
         -1L)
       val pending = PendingCommit(batchKey, touchedPaths, added,
-        if (evolved) Some(physicalSchema) else None, lineage)
+        if (evolved) Some(physicalSchema) else None, lineage, cursor)
       val next = table.commit(base, pending)
       MergeResult(next, skipped = false, n - deletes, deletes, touched.size, added.size)
     } finally deduped.unpersist()
@@ -234,56 +242,43 @@ object MergeInto {
     }: _*)
   }
 
-  /** Per-file stats for the manifest straight from the parquet footers
-    * (row counts + conv_id column min/max): metadata-only, no data IO and
-    * no Spark job — exactly how Iceberg collects manifest stats.
+  /** Per-file manifest stats (row count, conv_id min/max, ts min/max),
+    * collected by a DISTRIBUTED column-pruned aggregate over the freshly
+    * written files grouped by `input_file_name()` — the driver does no
+    * per-file IO. A commit adds O(shuffle partitions) files; opening every
+    * footer on the driver would be O(files) serial driver work per commit,
+    * the kind that caps commit rate at 100× (Iceberg collects these stats
+    * from write-task results for the same reason).
     */
   private[ops] def collectStats(spark: SparkSession, staging: String): Seq[DataFileMeta] =
     collectFileStats(spark, staging)
 
   private def collectFileStats(spark: SparkSession, staging: String): Seq[DataFileMeta] = {
-    import org.apache.hadoop.fs.{Path => HPath}
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
-    val bucketRe = ".*/bucket=(\\d+)/[^/]+$".r
     val stagingPath = Paths.get(staging)
     if (!Files.exists(stagingPath)) return Nil
-    val conf = spark.sessionState.newHadoopConf()
     val paths = Files.walk(stagingPath).iterator().asScala
       .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
       .map(_.toString).toSeq.sorted
-    // footer reads are independent metadata fetches — do them in parallel
-    // (a commit adds O(shuffle partitions) files; sequential opens would be
-    // the dominant fixed cost of small micro-batches)
-    val pool = new java.util.concurrent.ForkJoinPool(
-      math.min(16, math.max(2, paths.size)))
-    try {
-      import scala.collection.parallel.CollectionConverters._
-      val par = paths.par
-      par.tasksupport =
-        new scala.collection.parallel.ForkJoinTaskSupport(pool)
-      par.map { f =>
-        val reader = ParquetFileReader.open(
-          HadoopInputFile.fromPath(new HPath(f), conf))
-        try {
-          val blocks = reader.getFooter.getBlocks.asScala
-          val rows = blocks.map(_.getRowCount).sum
-          val keyStats = blocks.flatMap(_.getColumns.asScala
-            .filter(_.getPath.toDotString == "conv_id")
-            .map(_.getStatistics))
-            .collect { case s: org.apache.parquet.column.statistics.BinaryStatistics
-              if !s.isEmpty => (s.genericGetMin.toStringUsingUTF8,
-                s.genericGetMax.toStringUsingUTF8) }
-          val bucket = f match {
-            case bucketRe(b) => b.toInt
-            case _ => -1
-          }
-          DataFileMeta(f, rows, bucket,
-            if (keyStats.isEmpty) "" else keyStats.map(_._1).min,
-            if (keyStats.isEmpty) "￿" else keyStats.map(_._2).max)
-        } finally reader.close()
-      }.seq.toSeq.filter(_.rows > 0)
-    } finally pool.shutdown()
+    if (paths.isEmpty) return Nil
+    val stats = spark.read.option("basePath", staging).parquet(paths: _*)
+      .groupBy(input_file_name().as("__f"), col("bucket"))
+      .agg(count(lit(1)).as("rows"),
+        min("conv_id").as("minKey"), max("conv_id").as("maxKey"),
+        coalesce(unix_millis(min("ts")), lit(0L)).as("minTs"),
+        coalesce(unix_millis(max("ts")), lit(0L)).as("maxTs"))
+      .collect()
+    stats.toSeq.map { r =>
+      // input_file_name yields a URI (file:///...); manifests store plain
+      // paths so gcOrphans/read can compare against filesystem walks
+      val raw = r.getAs[String]("__f")
+      val p = if (raw.startsWith("file:"))
+        java.nio.file.Paths.get(new java.net.URI(raw)).toString
+      else raw
+      DataFileMeta(p, r.getAs[Long]("rows"), r.getAs[Int]("bucket"),
+        Option(r.getAs[String]("minKey")).getOrElse(""),
+        Option(r.getAs[String]("maxKey")).getOrElse("￿"),
+        r.getAs[Long]("minTs"), r.getAs[Long]("maxTs"))
+    }.filter(_.rows > 0).sortBy(_.path)
   }
 
   /** Canonical change-event projection (lsn, op, payload...). */

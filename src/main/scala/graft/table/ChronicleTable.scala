@@ -23,7 +23,15 @@ case class DataFileMeta(
     rows: Long,
     bucket: Int,
     minKey: String,
-    maxKey: String)
+    maxKey: String,
+    /** Event-time bounds (epoch millis) of rows in the file — the
+      * second-level partition value for time-ranged reads and retention
+      * scans (the reference's date-suffixed outputs:
+      * IndexSuffixFormatter.java:27-41, DynamicRemotePrefixFormatter.java:16-50).
+      * (0, 0) = stats unknown (pre-upgrade manifest) → never pruned.
+      */
+    minTsMs: Long = 0L,
+    maxTsMs: Long = 0L)
 
 /** Per-commit lineage: the Spark-native version of the reference's upload
   * notice JSON `{bucket, filePath, size, collector}` plus CRC
@@ -52,13 +60,31 @@ case class Snapshot(
     files: Seq[DataFileMeta],
     /** batchKey -> version that committed it; the idempotent-commit ledger
       * (the reference's `processingFileSet` upload dedup,
-      * RemoteFileSink.java:159-216, made durable).
+      * RemoteFileSink.java:159-216, made durable). BOUNDED: keys of the form
+      * `prefix#n` whose n is at-or-below `ledgerFloors(prefix)` are dropped
+      * at commit time — only the recent non-contiguous window stays explicit,
+      * so manifest size is O(live files + window), not O(all batches ever)
+      * (the reference's persisted queue keeps a front index, not history:
+      * FileBlockingQueue.java:143-150).
       */
     committedBatches: Map[String, Long],
+    /** prefix -> highest n such that ALL batch keys `prefix#0..n` have been
+      * committed (max-contiguous floor). Membership = n <= floor OR explicit
+      * key — see [[ChronicleTable.isCommitted]].
+      */
+    ledgerFloors: Map[String, Long] = Map.empty,
     /** High-water mark of applied LSNs (monotone; diagnostics only —
       * correctness comes from committedBatches + last-writer-wins dedup).
       */
     hwmLsn: Long,
+    /** Per-source consumption cursor: sourceId -> highest consumed segment
+      * number. Resume slices the segment list by NUMBER past this cursor,
+      * never by list index, so a committed partial trailing batch (e.g. one
+      * segment when segmentsPerBatch=4) cannot cause later-arriving segments
+      * to be skipped — the persisted consumer front-index of the reference's
+      * disk queue (FileBlockingQueue.java:143-150), keyed per source.
+      */
+    sourceCursors: Map[String, Long] = Map.empty,
     /** Lineage of the commits made AT this version only (usually one entry).
       * The full ledger is the concatenation across versions
       * ([[ChronicleTable.fullLineage]]) — embedding history in every
@@ -67,6 +93,22 @@ case class Snapshot(
     lineage: Seq[LineageEntry]) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   def totalRows: Long = files.map(_.rows).sum
+  /** Null-safe cursor view (manifests written before the field existed
+    * deserialize it as null; Jackson also erases Long map values to Integer
+    * for small numbers, so coerce through Number).
+    */
+  def cursors: Map[String, Long] = Snapshot.longMap(sourceCursors)
+  def floors: Map[String, Long] = Snapshot.longMap(ledgerFloors)
+}
+
+object Snapshot {
+  /** Null-safe Long-map view: Jackson deserializes a missing field as null
+    * and erases small Long values to Integer.
+    */
+  private[table] def longMap(m: Map[String, Long]): Map[String, Long] =
+    Option(m).map(_.asInstanceOf[Map[String, Any]])
+      .getOrElse(Map.empty)
+      .map { case (k, v) => k -> v.asInstanceOf[Number].longValue }
 }
 
 /** What a merge hands to the table for publication. */
@@ -75,7 +117,9 @@ case class PendingCommit(
     removedFiles: Seq[String],
     addedFiles: Seq[DataFileMeta],
     newSchema: Option[StructType],
-    lineage: LineageEntry)
+    lineage: LineageEntry,
+    /** Optional (sourceId, highest consumed segment number) cursor advance. */
+    cursor: Option[(String, Long)] = None)
 
 /** ChronicleTable — a from-scratch Iceberg-style table format.
   *
@@ -121,7 +165,10 @@ class ChronicleTable(val root: String) {
   def create(schema: StructType, numBuckets: Int): Snapshot = {
     Files.createDirectories(metaDir)
     Files.createDirectories(dataDir)
-    val s0 = Snapshot(0L, schema.json, numBuckets, Nil, Map.empty, -1L, Nil)
+    val s0 = Snapshot(version = 0L, schemaJson = schema.json,
+      numBuckets = numBuckets, files = Nil, committedBatches = Map.empty,
+      ledgerFloors = Map.empty, hwmLsn = -1L, sourceCursors = Map.empty,
+      lineage = Nil)
     writeManifest(s0)
     flipPointer(0L)
     s0
@@ -146,9 +193,15 @@ class ChronicleTable(val root: String) {
     loadVersion(latest)
   }
 
-  /** Time travel: load a specific snapshot version. */
+  /** Time travel: load a specific snapshot version. Fails with a clear
+    * error if the version was expired by [[expireSnapshots]].
+    */
   def loadVersion(version: Long): Snapshot = {
     val p = metaDir.resolve(f"v$version%09d.json")
+    if (!Files.exists(p))
+      throw new NoSuchElementException(
+        s"snapshot v$version of $root does not exist (expired or never written); " +
+          s"available: ${listVersions.mkString(",")}")
     mapper.readValue(Files.readString(p), classOf[Snapshot])
   }
 
@@ -176,21 +229,57 @@ class ChronicleTable(val root: String) {
     * reload and retry).
     */
   def commit(base: Snapshot, pending: PendingCommit): Snapshot = {
-    require(!base.committedBatches.contains(pending.batchKey),
+    require(!ChronicleTable.isCommitted(base, pending.batchKey),
       s"batch ${pending.batchKey} already committed — caller must skip")
     val removed = pending.removedFiles.toSet
+    val (floors, window) = ChronicleTable.compactLedger(base.floors,
+      base.committedBatches + (pending.batchKey -> (base.version + 1)))
     val next = Snapshot(
       version = base.version + 1,
       schemaJson = pending.newSchema.map(_.json).getOrElse(base.schemaJson),
       numBuckets = base.numBuckets,
       files = base.files.filterNot(f => removed(f.path)) ++ pending.addedFiles,
-      committedBatches = base.committedBatches + (pending.batchKey -> (base.version + 1)),
+      committedBatches = window,
+      ledgerFloors = floors,
       hwmLsn = math.max(base.hwmLsn, pending.lineage.endLsn),
+      sourceCursors = base.cursors ++ pending.cursor.map { case (src, seg) =>
+        src -> math.max(seg, base.cursors.getOrElse(src, -1L))
+      },
       lineage = Seq(pending.lineage.copy(snapshotVersion = base.version + 1)))
     beforePublishHook(next)
     writeManifest(next) // CREATE_NEW: optimistic-concurrency barrier
     flipPointer(next.version)
     next
+  }
+
+  /** Expire all but the newest `keepLast` snapshots: their manifests are
+    * deleted, and any data file referenced ONLY by expired versions is
+    * deleted from disk. COW + time travel otherwise pins every rewritten
+    * generation of every bucket forever — at 10^10 events a replay would
+    * retain ~every file ever written. The reference deletes local files
+    * aggressively after upload (RemoteFileSink.java:151-216) and caps the
+    * disk queue (FileBlockingQueue.java:83-150); this is the table-format
+    * equivalent (Iceberg's expire_snapshots).
+    *
+    * Returns (expired versions, deleted data files). Time-travel reads of
+    * expired versions fail with a clear error afterwards.
+    */
+  def expireSnapshots(keepLast: Int): (Seq[Long], Seq[String]) = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val vs = listVersions
+    val expired = vs.dropRight(keepLast)
+    if (expired.isEmpty) return (Nil, Nil)
+    val retained = vs.takeRight(keepLast)
+    val live: Set[String] =
+      retained.flatMap(v => loadVersion(v).files.map(_.path)).toSet
+    val dead = expired.flatMap(v => loadVersion(v).files.map(_.path))
+      .distinct.filterNot(live)
+    // delete manifests first: a crash mid-way leaves only unreferenced data
+    // files, which gcOrphans reclaims — never a manifest pointing at
+    // deleted data
+    expired.foreach(v => Files.deleteIfExists(metaDir.resolve(f"v$v%09d.json")))
+    dead.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    (expired, dead)
   }
 
   private def writeManifest(s: Snapshot): Unit = {
@@ -232,7 +321,8 @@ class ChronicleTable(val root: String) {
       buckets.contains(f.bucket) && f.minKey <= maxKey && f.maxKey >= minKey)
 
   /** The complete lineage ledger: every commit's entry across all
-    * snapshot versions, in commit order.
+    * RETAINED snapshot versions, in commit order (expiry drops the history
+    * of expired versions along with their manifests).
     */
   def fullLineage(): Seq[LineageEntry] =
     listVersions.flatMap(v => loadVersion(v).lineage)
@@ -257,6 +347,36 @@ class ChronicleTable(val root: String) {
 
 object ChronicleTable {
   private val ManifestName = """v(\d+)\.json""".r
+  private val NumberedKey = """(.+)#(\d+)""".r
+
+  /** Has `batchKey` been committed into `snap`? Either at-or-below the
+    * max-contiguous floor of its prefix, or in the explicit recent window.
+    */
+  def isCommitted(snap: Snapshot, batchKey: String): Boolean =
+    snap.committedBatches.contains(batchKey) || (batchKey match {
+      case NumberedKey(prefix, n) => snap.floors.get(prefix).exists(_ >= n.toLong)
+      case _ => false
+    })
+
+  /** Advance per-prefix contiguous floors and drop the keys they cover.
+    * Non-`prefix#n`-shaped keys always stay explicit.
+    */
+  private[table] def compactLedger(floors: Map[String, Long],
+      ledger: Map[String, Long]): (Map[String, Long], Map[String, Long]) = {
+    val numbered = ledger.keys.collect { case k @ NumberedKey(p, n) => (p, n.toLong, k) }
+    val byPrefix = numbered.groupBy(_._1)
+    val newFloors = floors ++ byPrefix.map { case (prefix, ks) =>
+      val present = ks.map(_._2).toSet
+      var floor = floors.getOrElse(prefix, -1L)
+      while (present(floor + 1)) floor += 1
+      prefix -> floor
+    }.filter(_._2 >= 0)
+    val window = ledger.filter {
+      case (NumberedKey(p, n), _) => newFloors.getOrElse(p, -1L) < n.toLong
+      case _ => true
+    }
+    (newFloors, window)
+  }
 
   private[table] val mapper: ObjectMapper = {
     val m = new ObjectMapper()

@@ -142,6 +142,69 @@ class CdcPipelineSpec extends SparkSpec {
     assert(tableRows(p) == oracleRows(cfg))
   }
 
+  test("partial trailing batch then late segments: resume consumes by segment number, no loss") {
+    // 6 segments staged; only segment=0 visible first. With spb=4 the engine
+    // commits a PARTIAL batch [seg0]; when the rest arrive, resume must pick
+    // up from the persisted segment cursor — index math (batch 1 -> segments
+    // [4,8)) would silently skip segments 1-3.
+    val cfg = BinlogConfig(numEvents = 600, numConversations = 8,
+      segmentSize = 100, dupPct = 5)
+    val staging = tmpDir("binlog-partial-staging")
+    val src = tmpDir("binlog-partial")
+    BinlogGenerator.writeSegments(spark, cfg, staging)
+    def arrive(seg: Int): Unit =
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(staging, s"segment=$seg"),
+        java.nio.file.Paths.get(src, s"segment=$seg"))
+
+    arrive(0)
+    val tbl = tmpDir("table-partial")
+    val p = new CdcPipeline(PipelineConfig(src, tbl, segmentsPerBatch = 4, numBuckets = 4))
+    assert(p.runAll(spark) == 1) // partial batch [seg0] committed
+    assert(p.table.loadCurrent().cursors == Map("binlog" -> 0L))
+
+    (1 to 5).foreach(arrive)
+    val p2 = new CdcPipeline(PipelineConfig(src, tbl, segmentsPerBatch = 4, numBuckets = 4))
+    p2.runAll(spark)
+    assert(p2.table.loadCurrent().cursors == Map("binlog" -> 5L))
+    assert(tableRows(p2) == oracleRows(cfg))
+  }
+
+  test("quarantine is null-safe: null key/turn_idx rows divert, never vanish") {
+    import spark.implicits._
+    val src = tmpDir("binlog-q")
+    val tbl = tmpDir("table-q")
+    val p = new CdcPipeline(PipelineConfig(src, tbl, numBuckets = 4, quarantine = true))
+    p.ensureTable()
+    val batch = Seq(
+      (1L, "I", "conv-a", 0, "user", "ok", null: String, new java.sql.Timestamp(0L)),
+      (2L, "I", null: String, 1, "user", "null key", null: String, new java.sql.Timestamp(0L)),
+      (3L, "I", "conv-b", -5, "user", "neg turn", null: String, new java.sql.Timestamp(0L)),
+      (4L, "I", "conv-c", 2, "user", "ok2", null: String, new java.sql.Timestamp(0L)))
+      .toDF("lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+    // null turn_idx row: build via union with a null-int projection
+    val nullTurn = batch.limit(1).selectExpr(
+      "5L as lsn", "'I' as op", "'conv-d' as conv_id",
+      "cast(null as int) as turn_idx", "role", "'null turn' as text", "tool", "ts")
+    val all = batch.unionByName(nullTurn)
+    val routed = p.route(spark, all, 0)
+    // exactly the two clean rows reach the merge; three rows quarantined
+    assert(routed.count() == 2)
+    val q = spark.read.parquet(s"$tbl/quarantine/batch=0")
+    assert(q.count() == 3)
+    assert(routed.count() + q.count() == all.count()) // nothing vanished
+  }
+
+  test("Integrity.validate is null-safe: null text rejects instead of vanishing") {
+    import spark.implicits._
+    val df = Seq(("a", "good"), ("b", null: String))
+      .toDF("id", "text")
+    val stamped = graft.ops.Integrity.withCrc(df)
+    val (ok, bad) = graft.ops.Integrity.validate(stamped)
+    assert(ok.count() == 1 && bad.count() == 1)
+    assert(bad.select("id").as[String].collect().toSeq == Seq("b"))
+  }
+
   test("salted dedup path produces identical state (hot-key fixture)") {
     // zipfS high => one conversation dominates
     val cfg = BinlogConfig(numEvents = 3000, numConversations = 10,

@@ -82,6 +82,78 @@ class TableOpsSpec extends SparkSpec {
       s"rewrote ${res.rewrittenFiles} of $files files - pruning ineffective")
   }
 
+  test("ledger floor: out-of-order batch keys compact to max-contiguous + window") {
+    import graft.table._
+    val tbl = new ChronicleTable(tmpDir("table-ledger"))
+    def pc(key: String) = PendingCommit(key, Nil, Nil, None,
+      LineageEntry(key, "t", -1, -1, 0, 0, 0, 0L, Map.empty, -1L))
+    var s = tbl.create(graft.model.Model.physicalSchemaV1, 1)
+    s = tbl.commit(s, pc("x#0"))
+    s = tbl.commit(s, pc("x#2")) // gap: 1 missing
+    assert(s.floors == Map("x" -> 0L))
+    assert(s.committedBatches.keySet.filter(_.startsWith("x#")) == Set("x#2"))
+    s = tbl.commit(s, pc("x#1")) // gap closes -> floor jumps to 2, window drains
+    assert(s.floors == Map("x" -> 2L))
+    assert(!s.committedBatches.keySet.exists(_.startsWith("x#")))
+    Seq("x#0", "x#1", "x#2").foreach(k => assert(ChronicleTable.isCommitted(s, k)))
+    assert(!ChronicleTable.isCommitted(s, "x#3"))
+    // replaying a floor-covered batch is refused by commit (caller skips)
+    intercept[IllegalArgumentException] { tbl.commit(s, pc("x#1")) }
+    // non-numbered keys stay explicit and idempotent
+    s = tbl.commit(s, pc("compact#vA"))
+    assert(s.committedBatches.contains("compact#vA"))
+    assert(ChronicleTable.isCommitted(s, "compact#vA"))
+  }
+
+  test("200-commit replay: manifest size stays O(live files), not O(history)") {
+    import graft.table._
+    val root = tmpDir("table-bounded")
+    val tbl = new ChronicleTable(root)
+    def pc(i: Int) = PendingCommit(s"src#$i", Nil, Nil, None,
+      LineageEntry(s"src#$i", "t", i, i, 1, 0, 1, 0L, Map.empty, -1L),
+      cursor = Some("src" -> i.toLong))
+    var s = tbl.create(graft.model.Model.physicalSchemaV1, 4)
+    (0 until 200).foreach(i => s = tbl.commit(s, pc(i)))
+    assert(s.floors == Map("src" -> 199L))
+    assert(s.committedBatches.isEmpty) // fully contiguous -> all compacted
+    assert(s.cursors == Map("src" -> 199L))
+    def manifestSize(v: Long) =
+      java.nio.file.Files.size(java.nio.file.Paths.get(root, "meta", f"v$v%09d.json"))
+    // manifest byte size must be flat across the replay (no embedded history)
+    assert(manifestSize(200L) <= manifestSize(10L) + 64,
+      s"manifest grew: v10=${manifestSize(10L)}B v200=${manifestSize(200L)}B")
+  }
+
+  test("snapshot expiry deletes old manifests + only-expired data files; current state intact") {
+    val src = tmpDir("binlog-expire")
+    val tbl = tmpDir("table-expire")
+    val cfg = BinlogConfig(numEvents = 1000, numConversations = 10, segmentSize = 100)
+    BinlogGenerator.writeSegments(spark, cfg, src)
+    val p = new CdcPipeline(PipelineConfig(src, tbl, segmentsPerBatch = 1, numBuckets = 2))
+    p.runAll(spark) // 10 commits -> versions 0..10
+    val before = p.table.loadCurrent()
+    val state = p.currentState(spark).collect().toSeq
+    val allFilesEver = p.table.versions
+      .flatMap(v => p.table.loadVersion(v).files.map(_.path)).distinct
+
+    val (expired, deleted) = p.table.expireSnapshots(keepLast = 3)
+    assert(expired.nonEmpty && deleted.nonEmpty)
+    assert(p.table.versions.size == 3)
+    // expired version reads fail cleanly
+    intercept[NoSuchElementException] { p.table.loadVersion(expired.head) }
+    // current snapshot is untouched: same version, same rows, files on disk
+    val after = p.table.loadCurrent()
+    assert(after.version == before.version)
+    assert(p.currentState(spark).collect().toSeq == state)
+    after.files.foreach(f =>
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(f.path))))
+    // deleted = exactly the files referenced by no retained version
+    val live = p.table.versions.flatMap(v => p.table.loadVersion(v).files.map(_.path)).toSet
+    assert(deleted.toSet == allFilesEver.filterNot(live).toSet)
+    // resume still works after expiry (ledger floor + cursor survive)
+    assert(p.runOnce(spark).isEmpty) // nothing pending
+  }
+
   test("CRC integrity: corrupted payloads divert to quarantine, valid rows pass") {
     val clean = Seq((1L, "a", "hello"), (2L, "b", "world"), (3L, "c", "spark"))
       .toDF("lsn", "conv_id", "text")
