@@ -1,0 +1,114 @@
+package graft.cdc
+
+import graft.dsl.FilterDsl
+import graft.model.Model
+import graft.ops.{MergeInto, MergeResult}
+import graft.routing.RouteConfig
+import graft.table.ChronicleTable
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Multi-sink CDC fan-out: ONE change-event source feeding N independent
+  * ChronicleTables, each with its own route filter, batch ledger, cursor and
+  * lineage — suro's core semantic of one input fanning out to every matching
+  * route's sink (MessageRouter.java:60-102; Route{sink,filter,alias} at
+  * RoutingMap.java:40-132), where each sink drains independently.
+  *
+  * Exactly-once per sink: the batch is identified by its SEGMENT RANGE
+  * (deterministic on replay), so after a crash that left some sinks
+  * committed and others not, the replayed batch is skipped by the sinks
+  * that already hold its batchKey and applied by the rest — convergence
+  * without cross-sink coordination. The global resume point is the MINIMUM
+  * cursor across sinks (the slowest sink's position).
+  *
+  * One source scan per batch: the micro-batch is persisted before the
+  * per-route filters run, so N sink merges read the cache, not the source
+  * (the reference drains one queue per sink from a shared router thread,
+  * QueuedSink.java:96-153 — same single-read discipline).
+  *
+  * Routes must target distinct sinks (one merge per sink). An event
+  * matching several routes lands in each matching sink; an event matching
+  * none lands in the mandatory default sink
+  * (DynamicPropertySinkConfigurator.java:54-56 enforces `default`).
+  */
+class MultiSinkPipeline(val cfg: PipelineConfig, val routes: Seq[RouteConfig],
+    val defaultSink: String = "default") {
+  require(routes.map(_.sink).distinct.size == routes.size,
+    "routes must target distinct sinks (one route per sink)")
+  require(!routes.exists(_.sink == defaultSink),
+    s"'$defaultSink' is the implicit no-match sink; don't route to it explicitly")
+
+  /** The single-sink pipeline machinery is reused per sink; this shell
+    * pipeline provides segment listing only.
+    */
+  private val shell = new CdcPipeline(cfg)
+
+  val sinkNames: Seq[String] = routes.map(_.sink) :+ defaultSink
+
+  private val tables: Map[String, ChronicleTable] = sinkNames.map { s =>
+    s -> new ChronicleTable(s"${cfg.tableRoot}/sinks/$s")
+  }.toMap
+
+  def sinkTable(name: String): ChronicleTable = tables(name)
+
+  def ensureTables(): Unit = tables.values.foreach { t =>
+    if (!t.exists) t.create(Model.physicalSchemaV1, cfg.numBuckets)
+  }
+
+  /** Compiled null-safe predicate per route; default = matches no route. */
+  private def compiled: Seq[(RouteConfig, Column)] = routes.map { r =>
+    r -> coalesce(r.filter.map(FilterDsl.compile).getOrElse(lit(true)), lit(false))
+  }
+
+  /** Slowest sink's consumed-segment cursor = the global resume point. */
+  def consumedSegment(): Long =
+    tables.values.map(_.loadCurrent().cursors.getOrElse(cfg.sourceId, -1L)).min
+
+  def runOnce(spark: SparkSession): Option[Seq[(String, MergeResult)]] = {
+    ensureTables()
+    val cursor = consumedSegment()
+    val slice = shell.listSegments().filter(s => shell.segNum(s) > cursor)
+      .take(cfg.segmentsPerBatch)
+    if (slice.isEmpty) return None
+
+    // deterministic on replay: the batch IS its segment range
+    val batchKey =
+      s"${cfg.sourceId}#${shell.segNum(slice.head)}-${shell.segNum(slice.last)}"
+    val advance = Some(cfg.sourceId -> slice.map(shell.segNum).max)
+    val batch = shell.readBatch(spark, slice)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val preds = compiled
+      val noneMatched = preds.map { case (_, p) => !p }
+        .reduceOption(_ && _).getOrElse(lit(true))
+      val results = preds.map { case (r, pred) =>
+        val routed = r.alias match {
+          case Some(a) => batch.filter(pred).withColumn("conv_id", lit(a))
+          case None => batch.filter(pred)
+        }
+        r.sink -> MergeInto(spark, tables(r.sink), routed, batchKey,
+          source = slice.mkString(","), saltBuckets = cfg.saltBuckets,
+          cursor = advance)
+      } :+ (defaultSink -> MergeInto(spark, tables(defaultSink),
+        batch.filter(noneMatched), batchKey,
+        source = slice.mkString(","), saltBuckets = cfg.saltBuckets,
+        cursor = advance))
+      Some(results)
+    } finally batch.unpersist()
+  }
+
+  /** Drain all pending segments. Returns number of batches processed. */
+  def runAll(spark: SparkSession, maxBatches: Int = Int.MaxValue): Int = {
+    var n = 0
+    while (n < maxBatches && runOnce(spark).isDefined) n += 1
+    n
+  }
+
+  /** Final visible state of one sink, stable turn order. */
+  def sinkState(spark: SparkSession, sink: String): DataFrame =
+    tables(sink).read(spark)
+      .filter(!col(Model.deletedColumn))
+      .drop(Model.lsnColumn, Model.deletedColumn)
+      .orderBy("conv_id", "turn_idx")
+}

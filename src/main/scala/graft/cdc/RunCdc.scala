@@ -95,6 +95,16 @@ object RunCdc {
           s"keys=[${fs.map(_.minKey).min} .. ${fs.map(_.maxKey).max}]")
       }
 
+    // expire <tableRoot> [keepLast]: snapshot retention (Iceberg's
+    // expire_snapshots; the reference's delete-after-upload + disk-queue cap,
+    // RemoteFileSink.java:151-216, FileBlockingQueue.java:83-150)
+    case "expire" =>
+      val table = new graft.table.ChronicleTable(args(1))
+      val keep = if (args.length > 2) args(2).toInt else 5
+      val (versions, files) = table.expireSnapshots(keep)
+      println(s"expired ${versions.size} snapshots, deleted ${files.size} data files; " +
+        s"retained versions ${table.versions.mkString(",")}")
+
     case "compact" =>
       val table = new graft.table.ChronicleTable(args(1))
       val r = graft.ops.Compaction(spark, table,
@@ -106,18 +116,34 @@ object RunCdc {
         s"dropped ${r.droppedTombstones} tombstones; now v${r.snapshot.version}")
 
     // route <binlogDir> <routesJsonFile> <outDir>: fan the change stream out
-    // to per-sink parquet dirs through the filter DSL (the reference's
-    // router -> LocalFileSink path, MessageRouter.java:60-102).
+    // to per-sink parquet dirs (outDir/__sink=<name>/) through the filter
+    // DSL in ONE scan + ONE write job (the reference's router ->
+    // LocalFileSink path, MessageRouter.java:60-102).
     case "route" =>
       val routes = graft.routing.Router.parseRoutes(
         java.nio.file.Files.readString(java.nio.file.Paths.get(args(2))))
       val events = spark.read.parquet(args(1))
         .select(graft.ops.MergeInto.changeColumns: _*)
-      val out = graft.routing.Router.fanout(events,
-        graft.routing.RoutingTable("conv_id", routes))
-      out.foreach { case (sink, df) =>
-        df.write.mode("overwrite").parquet(s"${args(3)}/$sink")
-        println(s"sink $sink: ${spark.read.parquet(s"${args(3)}/$sink").count()} events")
+      val counts = graft.routing.Router.fanoutWrite(events,
+        graft.routing.RoutingTable("conv_id", routes), args(3))
+      counts.toSeq.sortBy(_._1).foreach { case (sink, n) =>
+        println(s"sink $sink: $n events")
+      }
+
+    // routedrun <binlogDir> <tableRoot> <routesJsonFile> [segmentsPerBatch]
+    // [numBuckets]: the multi-sink streaming pipeline — one input fanning
+    // out to N ChronicleTables with per-sink ledgers.
+    case "routedrun" =>
+      val routes = graft.routing.Router.parseRoutes(
+        java.nio.file.Files.readString(java.nio.file.Paths.get(args(3))))
+      val p = new MultiSinkPipeline(PipelineConfig(args(1), args(2),
+        segmentsPerBatch = if (args.length > 4) args(4).toInt else 4,
+        numBuckets = if (args.length > 5) args(5).toInt else 16), routes)
+      val n = p.runAll(spark)
+      println(s"applied $n batches to ${p.sinkNames.size} sinks")
+      p.sinkNames.foreach { s =>
+        val snap = p.sinkTable(s).loadCurrent()
+        println(s"  sink $s: v${snap.version} rows=${snap.totalRows}")
       }
 
     case other => sys.error(s"unknown subcommand: $other")

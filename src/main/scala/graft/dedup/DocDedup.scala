@@ -59,31 +59,33 @@ object DocDedup {
     */
   def ngramJaccardPairs(spark: SparkSession, dir: String,
       threshold: Double = 0.2): DataFrame = {
-    val sh = shingles(spark, dir).cache()
-    try {
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      val rare = sh.join(
-        sh.groupBy("sh").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxShingleDf && col("df") >= 2)
-          .select("sh"),
-        Seq("sh"), "left_semi")
-      val a = rare.select(col("doc_id").as("a"), col("sh"))
-      val b = rare.select(col("doc_id").as("b"), col("sh"))
-      val pairs = a.join(b, Seq("sh")).filter(col("a") < col("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("shared"))
-      val out = pairs
-        .join(broadcast(sizes.withColumnRenamed("doc_id", "a")
-          .withColumnRenamed("n_sh", "na")), Seq("a"))
-        .join(broadcast(sizes.withColumnRenamed("doc_id", "b")
-          .withColumnRenamed("n_sh", "nb")), Seq("b"))
-        .withColumn("jacc_e4", round(col("shared").cast("double") * 10000 /
-          (col("na") + col("nb") - col("shared"))).cast("long"))
-        .filter(col("jacc_e4") >= (threshold * 10000).toLong)
-        .select("a", "b", "shared", "jacc_e4")
-        .orderBy("a", "b")
-      out.cache().count()
-      out
-    } finally sh.unpersist()
+    // Returned UNCACHED (callers persist if they act on it repeatedly):
+    // a long-lived session must not have operator APIs pinning executor
+    // memory behind its back. The shingle sub-plan recurs in the self-join;
+    // Spark's ReuseExchange dedups the shuffles where the physical plans
+    // coincide, and all hashing is md5-exact so recomputation is
+    // deterministic.
+    val sh = shingles(spark, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val rare = sh.join(
+      sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxShingleDf && col("df") >= 2)
+        .select("sh"),
+      Seq("sh"), "left_semi")
+    val a = rare.select(col("doc_id").as("a"), col("sh"))
+    val b = rare.select(col("doc_id").as("b"), col("sh"))
+    val pairs = a.join(b, Seq("sh")).filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+    pairs
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "a")
+        .withColumnRenamed("n_sh", "na")), Seq("a"))
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "b")
+        .withColumnRenamed("n_sh", "nb")), Seq("b"))
+      .withColumn("jacc_e4", round(col("shared").cast("double") * 10000 /
+        (col("na") + col("nb") - col("shared"))).cast("long"))
+      .filter(col("jacc_e4") >= (threshold * 10000).toLong)
+      .select("a", "b", "shared", "jacc_e4")
+      .orderBy("a", "b")
   }
 
   /** md5-derived 60-bit integer base hash — computable identically in
@@ -116,33 +118,31 @@ object DocDedup {
     * of matching minhashes) >= 0.5. Shuffle is by band signature.
     */
   def lshPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignatures(spark, dir).cache()
-    try {
-      // band signature must be order-deterministic: sort (perm, minhash)
-      // pairs before concatenating
-      val bands2 = sig
-        .withColumn("band", (col("perm") / 4).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(sort_array(collect_list(struct(col("perm"), col("minhash"))))
-          .as("pm"))
-        .select(col("doc_id"), col("band"),
-          concat_ws(",", transform(col("pm"), x => x.getField("minhash")))
-            .as("bandsig"))
-      val l = bands2.select(col("doc_id").as("a"), col("band"), col("bandsig"))
-      val r = bands2.select(col("doc_id").as("b"), col("band"), col("bandsig"))
-      val cand = l.join(r, Seq("band", "bandsig")).filter(col("a") < col("b"))
-        .select("a", "b").distinct()
-      val sa = sig.select(col("doc_id").as("a"), col("perm"), col("minhash").as("ma"))
-      val sb = sig.select(col("doc_id").as("b"), col("perm"), col("minhash").as("mb"))
-      val out = cand.join(sa, Seq("a")).join(sb, Seq("b", "perm"))
-        .groupBy("a", "b")
-        .agg((sum(when(col("ma") === col("mb"), 1).otherwise(0)) * 10000 /
-          minhashPerms).cast("long").as("est_sim_e4"))
-        .filter(col("est_sim_e4") >= 5000)
-        .orderBy("a", "b")
-      out.cache().count()
-      out
-    } finally sig.unpersist()
+    // uncached by design — see ngramJaccardPairs; minhash values are exact
+    // integers, so every recomputation agrees
+    val sig = minhashSignatures(spark, dir)
+    // band signature must be order-deterministic: sort (perm, minhash)
+    // pairs before concatenating
+    val bands2 = sig
+      .withColumn("band", (col("perm") / 4).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(sort_array(collect_list(struct(col("perm"), col("minhash"))))
+        .as("pm"))
+      .select(col("doc_id"), col("band"),
+        concat_ws(",", transform(col("pm"), x => x.getField("minhash")))
+          .as("bandsig"))
+    val l = bands2.select(col("doc_id").as("a"), col("band"), col("bandsig"))
+    val r = bands2.select(col("doc_id").as("b"), col("band"), col("bandsig"))
+    val cand = l.join(r, Seq("band", "bandsig")).filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val sa = sig.select(col("doc_id").as("a"), col("perm"), col("minhash").as("ma"))
+    val sb = sig.select(col("doc_id").as("b"), col("perm"), col("minhash").as("mb"))
+    cand.join(sa, Seq("a")).join(sb, Seq("b", "perm"))
+      .groupBy("a", "b")
+      .agg((sum(when(col("ma") === col("mb"), 1).otherwise(0)) * 10000 /
+        minhashPerms).cast("long").as("est_sim_e4"))
+      .filter(col("est_sim_e4") >= 5000)
+      .orderBy("a", "b")
   }
 
   /** 32-bit SimHash over word tokens: bit j set iff the sum over tokens of

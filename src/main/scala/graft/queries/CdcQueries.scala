@@ -84,14 +84,14 @@ object CdcQueries {
         val batch = ch.filter(col("lsn") >= b * step && col("lsn") < (b + 1) * step)
         MergeInto(spark, table, batch, s"fs#$b", s"lsn-range-$b")
       }
-      val out = withMs(
+      // returned uncached: the table files stay on disk for the session, so
+      // the lazy plan re-reads them deterministically — no pinned executor
+      // memory
+      withMs(
         table.read(spark)
           .filter(!col(Model.deletedColumn))
           .drop(Model.lsnColumn, Model.deletedColumn))
         .orderBy("conv_id", "turn_idx")
-      // materialize before the temp dir could be cleaned
-      out.cache().count()
-      out
     } finally ch.unpersist()
   }
 

@@ -30,18 +30,73 @@ case class RoutingTable(
     quarantineSink: String = "quarantine")
 
 /** Spark-native re-expression of `MessageRouter.process`
-  * (suro-core/.../routing/MessageRouter.java:60-102): instead of a
-  * per-message interpreted loop over sinks, the routing table compiles once
-  * into Catalyst predicates and the micro-batch fans out as several
-  * filtered/projected DataFrames from the SAME plan — Catalyst caches the
-  * common scan, and every route predicate is pushed toward it.
+  * (suro-core/.../routing/MessageRouter.java:60-102): the routing table
+  * compiles once into Catalyst predicates.
+  *
+  * Two surfaces:
+  *  - [[Router.fanout]] returns one lazy DataFrame per sink (composable,
+  *    but each sink's ACTION re-executes the source scan — callers that
+  *    write every sink should persist the input first or use fanoutWrite);
+  *  - [[Router.fanoutWrite]] is the one-pass path: events are tagged with
+  *    the sinks they match, exploded, and written `partitionBy(sink)` —
+  *    exactly ONE scan and ONE write job regardless of route count.
   */
 object Router {
+
+  /** One-pass fan-out write. Each input row is scanned once, tagged with
+    * every matching route (sink + optional alias), and the exploded result
+    * is written partitioned by sink directory. Multi-match duplicates the
+    * event into each sink (suro writes to every matching route's sink,
+    * MessageRouter.java:79-99); no match -> default sink; null/empty key ->
+    * quarantine sink. Returns per-sink row counts.
+    */
+  def fanoutWrite(df: DataFrame, table: RoutingTable, outDir: String): Map[String, Long] = {
+    val key = col(table.keyColumn)
+    val keyless = coalesce(key.isNull || (key.cast("string") === lit("")), lit(true))
+    val tagType = "struct<sink:string,alias:string>"
+    val routeTags: Seq[Column] = table.routes.map { r =>
+      val pred = coalesce(r.filter.map(FilterDsl.compile).getOrElse(lit(true)), lit(false))
+      when(pred, struct(
+        lit(r.sink).as("sink"),
+        r.alias.map(lit(_)).getOrElse(lit(null)).cast("string").as("alias")))
+        .otherwise(lit(null).cast(tagType))
+    }
+    val matched = filter(array(routeTags: _*), t => t.isNotNull)
+    val defaultTag = array(struct(lit(table.defaultSink).as("sink"),
+      lit(null).cast("string").as("alias")))
+    val quarantineTag = array(struct(lit(table.quarantineSink).as("sink"),
+      lit(null).cast("string").as("alias")))
+    val tagged = df
+      .withColumn("__tags",
+        when(keyless, quarantineTag)
+          .when(size(matched) === 0, defaultTag)
+          .otherwise(matched))
+      .withColumn("__tag", explode(col("__tags")))
+      .withColumn(table.keyColumn,
+        coalesce(col("__tag.alias").cast(df.schema(table.keyColumn).dataType), key))
+      .withColumn("__sink", col("__tag.sink"))
+      .drop("__tags", "__tag")
+    tagged.write.partitionBy("__sink").mode("overwrite").parquet(outDir)
+    // per-sink counts from the written output: parquet count() is a
+    // metadata-only footer read, not a data scan
+    val spark = df.sparkSession
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(java.nio.file.Paths.get(outDir)).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.startsWith("__sink="))
+      .map { d =>
+        d.stripPrefix("__sink=") -> spark.read.parquet(s"$outDir/$d").count()
+      }.toMap
+  }
 
   /** Compile and fan out. Returns sinkName -> DataFrame. A route's alias
     * rewrites the routing-key column, payload preserved (MessageRouter
     * alias semantics, MessageRouter.java:85-99). An event can match
     * multiple routes (suro writes to every matching route's sink).
+    *
+    * NOTE: the returned frames share the input PLAN, not materialized data;
+    * running an action per sink re-executes the source scan each time.
+    * Persist the input first, or use [[fanoutWrite]] for a one-pass write.
     */
   def fanout(df: DataFrame, table: RoutingTable): Map[String, DataFrame] = {
     val key = col(table.keyColumn)

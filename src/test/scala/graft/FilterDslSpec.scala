@@ -106,6 +106,28 @@ class FilterDslSpec extends SparkSpec {
     assert(out("quarantine").count() == 1)
   }
 
+  test("fanoutWrite (one-pass) produces the same per-sink row sets as fanout") {
+    val events = Seq(
+      ("clicks", 5.0), ("clicks", 50.0), ("errors", 1.0), ("misc", 2.0), (null, 3.0)
+    ).toDF("routingKey", "value")
+    val table = RoutingTable("routingKey", Seq(
+      RouteConfig("hot", Some("""xpath("value") >= 10"""), None),
+      RouteConfig("errs", Some("""xpath("routingKey") = "errors""""), Some("e-alias")),
+      RouteConfig("cold", Some("""xpath("routingKey") = "clicks""""))))
+    val out = tmpDir("fanout-write")
+    val counts = Router.fanoutWrite(events, table, out)
+    assert(counts == Map("hot" -> 1L, "errs" -> 1L, "cold" -> 2L,
+      "default" -> 1L, "quarantine" -> 1L))
+    // alias rewrote the key in the errs sink
+    val errs = spark.read.parquet(s"$out/__sink=errs")
+      .select("routingKey").as[String].collect().toSeq
+    assert(errs == Seq("e-alias"))
+    // multi-match duplication: clicks/50 reaches both hot and cold
+    val hot = spark.read.parquet(s"$out/__sink=hot").select("value").as[Double].collect().toSet
+    val cold = spark.read.parquet(s"$out/__sink=cold").select("value").as[Double].collect().toSet
+    assert(hot == Set(50.0) && cold == Set(5.0, 50.0))
+  }
+
   test("routes parse from JSON config") {
     val routes = Router.parseRoutes(
       """[{"sink":"a","filter":"xpath(\"x\") = 1"},{"sink":"b","alias":"z"}]""")
