@@ -59,6 +59,7 @@ object SparkEntry {
     "cdc_dedup_latest" -> ((s, d) => CdcQueries.dedupLatest(s, d)),
     "cdc_dedup_salted" -> ((s, d) => CdcQueries.dedupSalted(s, d)),
     "cdc_final_state" -> ((s, d) => CdcQueries.finalState(s, d)),
+    "cdc_time_slice" -> ((s, d) => CdcQueries.timeSlice(s, d)),
     "cdc_hwm_anti" -> ((s, d) => CdcQueries.hwmAntiJoin(s, d)),
     "cdc_route_dsl" -> ((s, d) => CdcQueries.routeDsl(s, d)),
     "cdc_quarantine" -> ((s, d) => CdcQueries.quarantine(s, d)),
@@ -78,6 +79,10 @@ object SparkEntry {
     "q_cube" -> ((s, d) => RelationalQueries.cubeOrders(s, d)),
     "q_asof_join" -> ((s, d) => RelationalQueries.asofJoin(s, d)),
     "q_profile" -> ((s, d) => RelationalQueries.eventProfile(s, d)),
+    // approximate (sketch) variant: no oracleSql entry by design — HLL++ /
+    // t-digest outputs are engine-specific; the spec bounds it vs the exact
+    // profile instead, and the driver records a rows-only check
+    "q_profile_approx" -> ((s, d) => RelationalQueries.eventProfileApprox(s, d)),
     // ------------------------------------------------- text analysis
     "text_tokens" -> ((s, d) => TextOps.tokenCounts(s, d)),
     "text_quality" -> ((s, d) => TextOps.qualityScore(s, d)),
@@ -124,6 +129,14 @@ object SparkEntry {
          |d AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn FROM ch)
          |SELECT conv_id, turn_idx, role, text, tool, ts_ms
          |FROM d WHERE rn = 1 AND op <> 'D' ORDER BY conv_id, turn_idx""".stripMargin,
+
+    "cdc_time_slice" ->
+      s"""WITH ch AS ($changesSql),
+         |d AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn FROM ch)
+         |SELECT conv_id, turn_idx, role, text, tool, ts_ms
+         |FROM d WHERE rn = 1 AND op <> 'D'
+         |  AND ts_ms BETWEEN ${CdcQueries.sliceFromMs} AND ${CdcQueries.sliceToMs}
+         |ORDER BY conv_id, turn_idx""".stripMargin,
 
     "cdc_hwm_anti" ->
       s"""WITH ch AS ($changesSql)

@@ -70,8 +70,14 @@ object MergeInto {
     * below it; a bulk backfill is exactly the case where the shuffled join
     * is right).
     */
-  val broadcastKeyLimit: Long =
+  @volatile var broadcastKeyLimit: Long =
     sys.env.getOrElse("GRAFT_BROADCAST_KEY_LIMIT", "1000000").toLong
+
+  /** Broadcast-hint a batch-derived join side only under the key cutoff
+    * (above it the hint is omitted and the join shuffles / AQE decides).
+    */
+  private[graft] def maybeBroadcastDf(df: DataFrame, keyCount: Long): DataFrame =
+    if (keyCount <= broadcastKeyLimit) broadcast(df) else df
 
   /** Phase-timing log for profiling runs. */
   @volatile var profile: Boolean = false
@@ -147,8 +153,7 @@ object MergeInto {
       val touched = table.pruneFiles(base, buckets, minKey, maxKey)
       val touchedPaths = touched.map(_.path)
 
-      def maybeBroadcast(df: DataFrame): DataFrame =
-        if (n <= broadcastKeyLimit) broadcast(df) else df
+      def maybeBroadcast(df: DataFrame): DataFrame = maybeBroadcastDf(df, n)
 
       // --- per-key existing-LSN guard (column-pruned scan of touched files)
       // For an ordered source the HWM filter already guarantees every batch

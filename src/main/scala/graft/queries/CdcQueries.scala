@@ -66,34 +66,64 @@ object CdcQueries {
     withMs(Dedup.saltedLatest(changes(spark, dir), Model.keyColumns, "lsn", 16))
       .orderBy("conv_id", "turn_idx")
 
-  /** Full engine replay: the change stream is split into micro-batches by
-    * LSN range and applied through the real ChronicleTable MERGE path into
-    * a scratch table; returns the final visible state. Oracle: a
-    * last-writer-wins window query in DuckDB.
+  /** Replay tables are memoized per (dir, numBatches) so the several
+    * oracle queries that exercise the real table (final state, time slice)
+    * share ONE engine replay instead of re-running it each.
     */
-  def finalState(spark: SparkSession, dir: String, numBatches: Int = 4): DataFrame = {
-    val ch = changes(spark, dir).cache()
-    try {
-      val maxLsn = ch.agg(max("lsn")).collect()(0).getLong(0)
-      val step = maxLsn / numBatches + 1
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-finalstate").toString
-      val table = new ChronicleTable(root)
-      table.create(graft.model.Model.physicalSchemaV1, numBuckets = 8)
-      (0 until numBatches).foreach { b =>
-        val batch = ch.filter(col("lsn") >= b * step && col("lsn") < (b + 1) * step)
-        MergeInto(spark, table, batch, s"fs#$b", s"lsn-range-$b")
-      }
-      // returned uncached: the table files stay on disk for the session, so
-      // the lazy plan re-reads them deterministically — no pinned executor
-      // memory
-      withMs(
-        table.read(spark)
-          .filter(!col(Model.deletedColumn))
-          .drop(Model.lsnColumn, Model.deletedColumn))
-        .orderBy("conv_id", "turn_idx")
-    } finally ch.unpersist()
+  private val replayCache =
+    scala.collection.concurrent.TrieMap[(String, Int), String]()
+
+  /** Replay the change stream through the real ChronicleTable MERGE path
+    * (micro-batched by LSN range) into a session-scratch table.
+    */
+  def replayTable(spark: SparkSession, dir: String,
+      numBatches: Int = 4): ChronicleTable = {
+    val root = replayCache.getOrElseUpdate((dir, numBatches), {
+      val ch = changes(spark, dir).cache()
+      try {
+        val maxLsn = ch.agg(max("lsn")).collect()(0).getLong(0)
+        val step = maxLsn / numBatches + 1
+        val r = java.nio.file.Files
+          .createTempDirectory("graft-finalstate").toString
+        val table = new ChronicleTable(r)
+        table.create(graft.model.Model.physicalSchemaV1, numBuckets = 8)
+        (0 until numBatches).foreach { b =>
+          val batch = ch.filter(col("lsn") >= b * step && col("lsn") < (b + 1) * step)
+          MergeInto(spark, table, batch, s"fs#$b", s"lsn-range-$b")
+        }
+        r
+      } finally ch.unpersist()
+    })
+    new ChronicleTable(root)
   }
+
+  /** Full engine replay: final visible state through the real table.
+    * Oracle: a last-writer-wins window query in DuckDB. Returned uncached —
+    * the table files stay on disk for the session, so the lazy plan
+    * re-reads them deterministically with no pinned executor memory.
+    */
+  def finalState(spark: SparkSession, dir: String, numBatches: Int = 4): DataFrame =
+    withMs(
+      replayTable(spark, dir, numBatches).read(spark)
+        .filter(!col(Model.deletedColumn))
+        .drop(Model.lsnColumn, Model.deletedColumn))
+      .orderBy("conv_id", "turn_idx")
+
+  /** One-week time-sliced read of the replayed table: manifest-level ts
+    * pruning (pruneFilesByTime) keeps untouched days' files off the scan
+    * entirely, then the residual predicate exacts the bounds — the table's
+    * second partition dimension (the reference's date-suffixed sinks,
+    * IndexSuffixFormatter.java:27-41).
+    */
+  val sliceFromMs = 1704412800000L // 2024-01-05T00:00:00Z
+  val sliceToMs = 1705017600000L   // 2024-01-12T00:00:00Z
+
+  def timeSlice(spark: SparkSession, dir: String): DataFrame =
+    withMs(
+      replayTable(spark, dir).readSlice(spark, sliceFromMs, sliceToMs)
+        .filter(!col(Model.deletedColumn))
+        .drop(Model.lsnColumn, Model.deletedColumn))
+      .orderBy("conv_id", "turn_idx")
 
   /** High-water-mark anti-join: changes whose key was never touched by the
     * already-applied prefix (lsn < hwm) — the applied-offset exactly-once

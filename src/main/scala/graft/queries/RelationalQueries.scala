@@ -119,6 +119,24 @@ object RelationalQueries {
         cents(max("value")).as("max_e2"))
       .orderBy("event_type")
 
+  /** The 100 TB variant of [[eventProfile]]: sketch-based distinct count
+    * (HLL++) and t-digest quantiles — no per-group sort buffer, no exact
+    * distinct shuffle; constant memory per group. Same schema as the exact
+    * profile; values are approximations, so its correctness gate is the
+    * spec bound vs the exact profile, not the row-hash oracle.
+    */
+  def eventProfileApprox(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct("user_id").as("n_users"),
+        count(lit(1)).as("n_events"),
+        cents(expr("approx_percentile(value, 0.5, 10000)")).as("median_value_e2"),
+        cents(expr("approx_percentile(value, 0.95, 10000)")).as("p95_value_e2"),
+        cents(min("value")).as("min_e2"),
+        cents(max("value")).as("max_e2"))
+      .orderBy("event_type")
+
   /** CUBE grouping sets over two dimensions. */
   def cubeOrders(spark: SparkSession, dir: String): DataFrame =
     read(spark, dir, "orders")

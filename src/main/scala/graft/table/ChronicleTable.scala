@@ -320,6 +320,34 @@ class ChronicleTable(val root: String) {
     snapshot.files.filter(f =>
       buckets.contains(f.bucket) && f.minKey <= maxKey && f.maxKey >= minKey)
 
+  /** Files whose event-time range intersects [fromMs, toMs] (epoch millis,
+    * inclusive). Files without ts stats — written before the stats existed,
+    * marked (0,0) — are conservatively kept. The second-level partition
+    * pruning of the table: the Spark-native analogue of the reference's
+    * date-suffixed sink partitioning (IndexSuffixFormatter.java:27-41;
+    * S3 `date(yyyyMMdd)` prefixes, DynamicRemotePrefixFormatter.java:16-50).
+    */
+  def pruneFilesByTime(snapshot: Snapshot, fromMs: Long, toMs: Long): Seq[DataFileMeta] =
+    snapshot.files.filter(f =>
+      (f.minTsMs == 0L && f.maxTsMs == 0L) ||
+        (f.minTsMs <= toMs && f.maxTsMs >= fromMs))
+
+  /** Time-sliced read: lists/scans ONLY the files whose ts bounds intersect
+    * the range (manifest-level pruning — untouched days' files never reach
+    * the scan), then applies the exact residual predicate.
+    */
+  def readSlice(spark: SparkSession, fromMs: Long, toMs: Long): DataFrame = {
+    val snap = loadCurrent()
+    val files = pruneFilesByTime(snap, fromMs, toMs)
+    val schema = snap.schema
+    val base =
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(files.map(_.path): _*)
+    base.filter(unix_millis(col("ts")).between(fromMs, toMs))
+  }
+
   /** The complete lineage ledger: every commit's entry across all
     * RETAINED snapshot versions, in commit order (expiry drops the history
     * of expired versions along with their manifests).

@@ -36,6 +36,82 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("no persisted RDDs leak from any SparkEntry query (sweep)") {
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      fn(spark, dir).count()
+      val cached = spark.sparkContext.getPersistentRDDs
+      assert(cached.isEmpty,
+        s"query $name left ${cached.size} cached RDDs pinned: " +
+          cached.values.map(_.name).mkString(", "))
+    }
+  }
+
+  test("approx profile tracks the exact profile within sketch error") {
+    val exact = RelationalQueries.eventProfile(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    RelationalQueries.eventProfileApprox(spark, dir).collect().foreach { a =>
+      val e = exact(a.getAs[String]("event_type"))
+      assert(a.getAs[Long]("n_events") == e.getAs[Long]("n_events"))
+      assert(a.getAs[Long]("min_e2") == e.getAs[Long]("min_e2"))
+      assert(a.getAs[Long]("max_e2") == e.getAs[Long]("max_e2"))
+      // HLL++ relative error ~2-5%; t-digest median close on this data
+      val du = math.abs(a.getAs[Long]("n_users") - e.getAs[Long]("n_users")).toDouble
+      assert(du / e.getAs[Long]("n_users") <= 0.1,
+        s"approx distinct too far: $du vs ${e.getAs[Long]("n_users")}")
+      val dm = math.abs(a.getAs[Long]("median_value_e2") - e.getAs[Long]("median_value_e2")).toDouble
+      assert(dm / math.max(1, e.getAs[Long]("median_value_e2")) <= 0.1)
+    }
+  }
+
+  test("unordered merge over the broadcast cutoff converges via shuffled joins") {
+    import spark.implicits._
+    val saved = graft.ops.MergeInto.broadcastKeyLimit
+    val savedThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force every batch-derived side over the cutoff AND disable Spark's
+      // size-based auto-broadcast: both merge joins must run shuffled
+      graft.ops.MergeInto.broadcastKeyLimit = 1
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val tbl = tmpDir("plan-unordered")
+      val table = new graft.table.ChronicleTable(tbl)
+      table.create(graft.model.Model.physicalSchemaV1, numBuckets = 2)
+      val mk = (i: Long, lsn: Long, text: String) =>
+        (lsn, if (text == null) "D" else "U", s"conv-$i", 0, "user", text,
+          None: Option[String], new java.sql.Timestamp(0L))
+      val init = (0L until 40L).map(i => mk(i, i, s"v0-$i"))
+        .toDF("lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+      graft.ops.MergeInto(spark, table, init, "u0", "plan", orderedSource = false)
+      // second unordered batch: updates + deletes arriving out of order
+      val upd = ((0L until 20L).map(i => mk(i, 100L + i, s"v1-$i")) ++
+        (20L until 30L).map(i => mk(i, 100L + i, null)))
+        .toDF("lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+      graft.ops.MergeInto(spark, table, upd, "u1", "plan", orderedSource = false)
+      val state = table.read(spark)
+        .filter(!org.apache.spark.sql.functions.col("_deleted"))
+        .select("conv_id", "text").as[(String, String)].collect().toMap
+      assert(state.size == 30)
+      (0L until 20L).foreach(i => assert(state(s"conv-$i") == s"v1-$i"))
+      (30L until 40L).foreach(i => assert(state(s"conv-$i") == s"v0-$i"))
+    } finally {
+      graft.ops.MergeInto.broadcastKeyLimit = saved
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThresh)
+    }
+  }
+
+  test("broadcast hint present under the key cutoff, absent above it") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val df = Seq((1, "a")).toDF("k", "v")
+    def hasHint(d: org.apache.spark.sql.DataFrame) =
+      d.queryExecution.analyzed.collect { case h: ResolvedHint => h }.nonEmpty
+    val saved = graft.ops.MergeInto.broadcastKeyLimit
+    try {
+      graft.ops.MergeInto.broadcastKeyLimit = 10
+      assert(hasHint(graft.ops.MergeInto.maybeBroadcastDf(df, 10)))
+      assert(!hasHint(graft.ops.MergeInto.maybeBroadcastDf(df, 11)))
+    } finally graft.ops.MergeInto.broadcastKeyLimit = saved
+  }
+
   test("merge anti-join broadcasts small batch keys against the table side") {
     import spark.implicits._
     val tbl = tmpDir("plan-merge")

@@ -154,6 +154,41 @@ class TableOpsSpec extends SparkSpec {
     assert(p.runOnce(spark).isEmpty) // nothing pending
   }
 
+  test("time-sliced read prunes untouched days' files at the manifest level") {
+    val tbl = tmpDir("table-timeslice")
+    val p = new CdcPipeline(PipelineConfig("", tbl, numBuckets = 1))
+    p.ensureTable()
+    def dayMs(d: Int) = 1704067200000L + d.toLong * 86400000L
+    // three commits with disjoint key ranges (no rewrite) and disjoint days
+    (0 until 3).foreach { d =>
+      val batch = (0 until 10).map { k =>
+        (d * 100L + k, "I", f"conv-$d-$k%03d", 0, "user", s"text $d $k",
+          None: Option[String], new java.sql.Timestamp(dayMs(d) + k * 1000L))
+      }.toDF("lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+      MergeInto(spark, p.table, batch, s"day#$d", "t")
+    }
+    val snap = p.table.loadCurrent()
+    // per-file ts stats recorded
+    assert(snap.files.forall(f => f.minTsMs > 0 && f.maxTsMs >= f.minTsMs))
+    val day1 = snap.files.filter(f =>
+      f.minTsMs >= dayMs(1) && f.maxTsMs < dayMs(2)).map(_.path).toSet
+    assert(day1.nonEmpty)
+    // manifest-level pruning selects exactly day 1's files
+    val pruned = p.table.pruneFilesByTime(snap, dayMs(1), dayMs(2) - 1)
+    assert(pruned.map(_.path).toSet == day1)
+    // the physical scan lists ONLY those files — untouched days never reach it
+    val slice = p.table.readSlice(spark, dayMs(1), dayMs(2) - 1)
+    val scanned = slice.inputFiles.map(f =>
+      java.nio.file.Paths.get(new java.net.URI(f)).toString).toSet
+    assert(scanned == day1, s"scanned $scanned, expected $day1")
+    assert(slice.count() == 10)
+    // stat-less files (pre-upgrade manifests) are conservatively kept
+    val legacy = snap.files.head.copy(minTsMs = 0L, maxTsMs = 0L)
+    val withLegacy = snap.copy(files = legacy +: snap.files.tail)
+    assert(p.table.pruneFilesByTime(withLegacy, dayMs(1), dayMs(2) - 1)
+      .exists(_.path == legacy.path))
+  }
+
   test("CRC integrity: corrupted payloads divert to quarantine, valid rows pass") {
     val clean = Seq((1L, "a", "hello"), (2L, "b", "world"), (3L, "c", "spark"))
       .toDF("lsn", "conv_id", "text")
