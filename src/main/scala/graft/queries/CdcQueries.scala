@@ -115,8 +115,8 @@ object CdcQueries {
     * second partition dimension (the reference's date-suffixed sinks,
     * IndexSuffixFormatter.java:27-41).
     */
-  val sliceFromMs = 1704412800000L // 2024-01-05T00:00:00Z
-  val sliceToMs = 1705017600000L   // 2024-01-12T00:00:00Z
+  val sliceFromMs = 1705881600000L // 2024-01-22T00:00:00Z
+  val sliceToMs = 1706659200000L   // 2024-01-31T00:00:00Z
 
   def timeSlice(spark: SparkSession, dir: String): DataFrame =
     withMs(
