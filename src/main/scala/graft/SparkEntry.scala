@@ -98,6 +98,7 @@ object SparkEntry {
     "ann_brute_topk" -> ((s, d) => Ann.bruteForceTopK(s, d)),
     "ann_lsh_buckets" -> ((s, d) => Ann.lshBuckets(s, d)),
     "ann_lsh_pairs" -> ((s, d) => Ann.lshCandidatePairs(s, d)),
+    "ann_lsh_topk" -> ((s, d) => Ann.lshTopK(s, d)),
     "dedup_embedding_cosine" -> ((s, d) => Ann.embeddingNearDup(s, d)),
     // ------------------------------------------------- multimodal plumbing
     "mm_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d)),
@@ -410,6 +411,31 @@ object SparkEntry {
          |JOIN e el ON el.vec_id = l.vec_id JOIN e er ON er.vec_id = r.vec_id
          |WHERE list_sum([el.q[i] * er.q[i] for i in range(1, len(el.q) + 1)]) >= 200000
          |ORDER BY a, b""".stripMargin,
+
+    "ann_lsh_topk" ->
+      s"""WITH e AS ($quantizedSql),
+         |x AS (SELECT vec_id, unnest(q) AS x, generate_subscripts(q, 1) - 1 AS j FROM e),
+         |proj AS (SELECT vec_id, p,
+         |    sum((('0x' || substr(md5(p::VARCHAR || '_' || j::VARCHAR), 1, 15))::BIGINT % 2001 - 1000) * x) AS proj
+         |  FROM x, (SELECT unnest(range(0, 12)) AS p) GROUP BY vec_id, p),
+         |bk AS (SELECT vec_id,
+         |    sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
+         |  FROM proj GROUP BY vec_id),
+         |qs AS (SELECT vec_id AS query_id, bucket FROM bk WHERE vec_id < 8),
+         |probes AS (SELECT query_id,
+         |    unnest(list_prepend(bucket, [xor(bucket, 1::BIGINT << p) for p in range(0, 12)])) AS probe
+         |  FROM qs),
+         |cand AS (SELECT query_id, b.vec_id AS neighbor_id
+         |  FROM probes pr JOIN bk b ON b.bucket = pr.probe
+         |  WHERE b.vec_id <> pr.query_id),
+         |s AS (SELECT query_id, neighbor_id,
+         |    list_sum([eq.q[i] * en.q[i] for i in range(1, len(eq.q) + 1)])::BIGINT AS dot_q
+         |  FROM cand JOIN e eq ON eq.vec_id = cand.query_id
+         |  JOIN e en ON en.vec_id = cand.neighbor_id),
+         |r AS (SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY dot_q DESC, neighbor_id) AS rank FROM s)
+         |SELECT query_id, rank, neighbor_id, dot_q FROM r WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
 
     "q_profile" ->
       """SELECT event_type,

@@ -67,7 +67,10 @@ object Ann {
     * is sign(sum_j w(p,j) * q_j). Integer-exact end to end.
     */
   def lshBuckets(spark: SparkSession, dir: String): DataFrame =
-    embeddings(spark, dir)
+    lshBucketsOver(embeddings(spark, dir)).orderBy("vec_id")
+
+  def lshBucketsOver(emb: DataFrame): DataFrame =
+    emb
       .select(col("vec_id"), posexplode(quantized(col("embedding"))))
       .withColumnRenamed("pos", "j").withColumnRenamed("col", "x")
       .select(col("vec_id"), col("j"), col("x"),
@@ -77,7 +80,65 @@ object Ann {
       .groupBy("vec_id")
       .agg(sum(when(col("proj") > 0, expr("shiftleft(1L, cast(p as int))"))
         .otherwise(0L)).as("bucket"))
-      .orderBy("vec_id")
+
+  /** SQL fragment listing a query's probe buckets: its own bucket plus all
+    * buckets within Hamming distance `radius` (1 -> numPlanes+1 probes,
+    * 2 -> +C(numPlanes,2) more). Multi-probe trades a bounded candidate
+    * fan-out for recall — the standard fix for single-probe hyperplane LSH
+    * missing near neighbors that straddle one or two hyperplanes.
+    */
+  private def probeExpr(radius: Int): String = {
+    val n = numPlanes
+    val r1 = s"transform(sequence(0, ${n - 1}), p -> bucket ^ shiftleft(1L, p))"
+    val r2 = s"flatten(transform(sequence(0, ${n - 2}), p -> " +
+      s"transform(sequence(p + 1, ${n - 1}), r -> " +
+      "bucket ^ shiftleft(1L, p) ^ shiftleft(1L, r))))"
+    radius match {
+      case 0 => "array(bucket)"
+      case 1 => s"concat(array(bucket), $r1)"
+      case 2 => s"concat(array(bucket), $r1, $r2)"
+      case _ => sys.error(s"unsupported probe radius $radius")
+    }
+  }
+
+  /** Multi-probe LSH top-k: queries probe their bucket neighborhood, rank
+    * candidates by exact quantized inner product, keep k. The ANN scale
+    * path: candidate generation is a shuffle-by-bucket join (never Q×N);
+    * recall vs [[bruteForceTopK]] is spec-asserted (DocDedupSpec) at a
+    * fixed probe budget.
+    */
+  def lshTopK(spark: SparkSession, dir: String, numQueries: Int = 8,
+      k: Int = 3, probeRadius: Int = 1): DataFrame =
+    lshTopKOver(embeddings(spark, dir), numQueries, k, probeRadius)
+
+  /** Same, over an arbitrary (vec_id, embedding) frame — used by the recall
+    * spec with planted-neighbor fixtures.
+    */
+  def lshTopKOver(emb: DataFrame, numQueries: Int, k: Int,
+      probeRadius: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), quantized(col("embedding")).as("q"))
+    val b = lshBucketsOver(emb) // (vec_id, bucket)
+    val data = e.join(b, "vec_id")
+    val probes = data.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qv"), col("bucket"))
+      .withColumn("probe", explode(expr(probeExpr(probeRadius))))
+      .drop("bucket")
+    // each neighbor lives in exactly one bucket and probe buckets are
+    // distinct, so the join cannot duplicate a candidate
+    val cand = probes.join(
+      data.select(col("vec_id").as("neighbor_id"), col("q"),
+        col("bucket").as("nb")),
+      col("probe") === col("nb"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+    val scored = cand.select(col("query_id"), col("neighbor_id"),
+      dotQ(col("qv"), col("q")).as("dot_q"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dot_q").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "dot_q")
+      .orderBy("query_id", "rank")
+  }
 
   /** Bucketed ANN: exact inner product only within an LSH bucket — the
     * scale path (shuffle by bucket, no N×N cross join). Emits candidate

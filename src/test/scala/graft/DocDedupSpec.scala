@@ -105,6 +105,45 @@ class DocDedupSpec extends SparkSpec {
     assert(buckets(0L) == buckets(1L)) // near-identical vectors share bucket
   }
 
+  test("ANN multi-probe LSH top-k: measured recall >= 0.9 on planted neighbors") {
+    // 32 queries (ids 0..31), each with a planted near-twin (id 32..63,
+    // cos ~0.99) among 200 random unit vectors. Deterministic fixture +
+    // md5-fixed hyperplanes => recall is a fixed number, not a flaky one.
+    val rnd = new scala.util.Random(11)
+    def unit(v: Array[Double]): Seq[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat).toSeq
+    }
+    val nQ = 32
+    val bases = (0 until nQ).map(_ => Array.fill(64)(rnd.nextGaussian()))
+    val twins = bases.map(b => b.map(x => x + 0.02 * rnd.nextGaussian()))
+    val fillers = (0 until 200).map(_ => Array.fill(64)(rnd.nextGaussian()))
+    val rows = bases.zipWithIndex.map { case (v, i) => (i.toLong, unit(v), 0) } ++
+      twins.zipWithIndex.map { case (v, i) => ((nQ + i).toLong, unit(v), 1) } ++
+      fillers.zipWithIndex.map { case (v, i) => ((2 * nQ + i).toLong, unit(v), 2) }
+    val d = tmpDir("ann-recall")
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+
+    // ground truth: the twin is each query's true nearest neighbor
+    val brute = Ann.bruteForceTopK(spark, d, numQueries = nQ, k = 1).collect()
+    val truth = brute.map(r =>
+      r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    assert(truth.forall { case (q, n) => n == q + nQ },
+      "fixture broken: twin is not the brute-force nearest neighbor")
+
+    // multi-probe (Hamming<=2 => 79 of 4096 buckets probed) top-3
+    val emb = spark.read.parquet(s"$d/embeddings.parquet")
+    val lsh = Ann.lshTopKOver(emb, numQueries = nQ, k = 3, probeRadius = 2)
+      .collect()
+    val hits = (0 until nQ).count { q =>
+      lsh.exists(r => r.getAs[Long]("query_id") == q.toLong &&
+        r.getAs[Long]("neighbor_id") == truth(q.toLong))
+    }
+    val recall = hits.toDouble / nQ
+    assert(recall >= 0.9, s"multi-probe recall $recall ($hits/$nQ) below 0.9")
+  }
+
   test("multimodal: batched stub decoder output equals per-row stub over the binary payload") {
     val feats = Multimodal.decodeFeatures(spark, dir).collect()
     val raw = Multimodal.mediaTable(spark, dir).collect()
