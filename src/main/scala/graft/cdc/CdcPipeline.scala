@@ -33,7 +33,18 @@ case class PipelineConfig(
       * inspectable. Off by default: the emptiness probe costs one extra
       * pass over each batch, which a trusted-source replay shouldn't pay.
       */
-    quarantine: Boolean = false)
+    quarantine: Boolean = false,
+    /** Adaptive batch sizing — the reference's backpressure loop
+      * (QueuedSink.checkPause computes pause = pending/throughput,
+      * QueuedSink.java:51-60) re-expressed for a pull-based tailer: size
+      * the NEXT micro-batch so it applies in ~targetBatchSec at the
+      * measured per-segment rate, instead of a fixed segment count. A slow
+      * merge (hot keys, wide rewrites, contended cluster) now feeds back
+      * into intake within one batch. `segmentsPerBatch` becomes the upper
+      * bound when this is on.
+      */
+    adaptiveBatching: Boolean = false,
+    targetBatchSec: Double = 30.0)
 
 /** The CDC micro-batch driver: binlog segment dirs -> dedup -> MERGE ->
   * snapshot commit, resumable from the table's own commit ledger.
@@ -136,6 +147,25 @@ class CdcPipeline(val cfg: PipelineConfig) {
         (lastCommittedBatch() + 1).toLong * cfg.segmentsPerBatch - 1
     }
 
+  /** Current adaptive batch size (segments); meaningful only when
+    * cfg.adaptiveBatching is on.
+    */
+  @volatile private[graft] var dynamicSpb: Int = cfg.segmentsPerBatch
+
+  /** The backpressure policy as a pure function: given the last batch's
+    * size and duration, the next batch takes as many segments as fit in
+    * targetSec at the measured per-segment rate — clamped to [1, maxSpb]
+    * and to at most doubling per step (suro's pause is similarly derived
+    * from pending/throughput, QueuedSink.java:51-60; here the "pause" is
+    * expressed as intake volume instead of sleep time).
+    */
+  private[graft] def nextBatchSize(lastSegments: Int, lastSec: Double,
+      targetSec: Double, maxSpb: Int): Int = {
+    val perSegSec = math.max(1e-9, lastSec / math.max(1, lastSegments))
+    val ideal = (targetSec / perSegSec).toInt
+    math.max(1, math.min(math.min(ideal, lastSegments * 2), maxSpb))
+  }
+
   /** Process exactly one pending batch. None = nothing pending.
     *
     * Segments are selected by segment NUMBER strictly past the persisted
@@ -146,19 +176,26 @@ class CdcPipeline(val cfg: PipelineConfig) {
   def runOnce(spark: SparkSession): Option[MergeResult] = {
     ensureTable()
     val cursor = consumedSegment()
-    val slice = listSegments().filter(s => segNum(s) > cursor)
-      .take(cfg.segmentsPerBatch)
+    val spb = if (cfg.adaptiveBatching) dynamicSpb else cfg.segmentsPerBatch
+    val slice = listSegments().filter(s => segNum(s) > cursor).take(spb)
     if (slice.isEmpty) None
     else {
       val next = lastCommittedBatch() + 1
       val raw = readBatch(spark, slice)
       // quarantine splits the batch twice; persist so both read the cache
       if (cfg.quarantine) raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try Some(MergeInto(spark, table,
-        route(spark, raw, next), batchKey(next),
-        source = slice.mkString(","), saltBuckets = cfg.saltBuckets,
-        cursor = Some(cfg.sourceId -> slice.map(segNum).max)))
-      finally if (cfg.quarantine) raw.unpersist()
+      val t0 = System.nanoTime()
+      try {
+        val r = MergeInto(spark, table,
+          route(spark, raw, next), batchKey(next),
+          source = slice.mkString(","), saltBuckets = cfg.saltBuckets,
+          cursor = Some(cfg.sourceId -> slice.map(segNum).max))
+        if (cfg.adaptiveBatching)
+          dynamicSpb = nextBatchSize(slice.size,
+            (System.nanoTime() - t0) / 1e9, cfg.targetBatchSec,
+            cfg.segmentsPerBatch)
+        Some(r)
+      } finally if (cfg.quarantine) raw.unpersist()
     }
   }
 

@@ -205,6 +205,27 @@ class CdcPipelineSpec extends SparkSpec {
     assert(bad.select("id").as[String].collect().toSeq == Seq("b"))
   }
 
+  test("adaptive batching: backpressure policy sizes batches; replay still converges") {
+    val cfg = BinlogConfig(numEvents = 800, numConversations = 8,
+      segmentSize = 100, dupPct = 5)
+    val src = tmpDir("binlog-adaptive")
+    val tbl = tmpDir("table-adaptive")
+    BinlogGenerator.writeSegments(spark, cfg, src)
+    val p = new CdcPipeline(PipelineConfig(src, tbl, segmentsPerBatch = 4,
+      numBuckets = 4, adaptiveBatching = true, targetBatchSec = 0.001))
+    // policy unit checks (pure function): slow batches shrink, fast ones
+    // grow at most 2x, always clamped to [1, maxSpb]
+    assert(p.nextBatchSize(lastSegments = 4, lastSec = 8.0, targetSec = 2.0, maxSpb = 16) == 1)
+    assert(p.nextBatchSize(lastSegments = 2, lastSec = 0.1, targetSec = 10.0, maxSpb = 16) == 4)
+    assert(p.nextBatchSize(lastSegments = 8, lastSec = 0.1, targetSec = 1000.0, maxSpb = 12) == 12)
+    // end to end: a millisecond target forces single-segment batches after
+    // the first; correctness is unaffected
+    p.runAll(spark)
+    assert(p.dynamicSpb == 1)
+    assert(p.lineage(spark).count() >= 5) // 8 segments, first batch <=4, rest 1
+    assert(tableRows(p) == oracleRows(cfg))
+  }
+
   test("salted dedup path produces identical state (hot-key fixture)") {
     // zipfS high => one conversation dominates
     val cfg = BinlogConfig(numEvents = 3000, numConversations = 10,

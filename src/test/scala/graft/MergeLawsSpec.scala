@@ -73,6 +73,21 @@ class MergeLawsSpec extends SparkSpec {
     }, 15)
   }
 
+  test("all dedup strategies (max_by, join-back, window) agree on any stream") {
+    holds(Prop.forAllNoShrink(genEvents, Gen.choose(42L, 46L)) { (evs, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val delivered = rnd.shuffle(evs ++ evs.filter(_ => rnd.nextInt(3) == 0))
+      val df = toDf(delivered)
+      def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+        .map(r => (r.getAs[String]("conv_id"), r.getAs[Int]("turn_idx"),
+          r.getAs[Long]("lsn"), r.getAs[String]("text")))
+        .sortBy(x => (x._1, x._2)).toSeq
+      val base = rows(graft.ops.Dedup.latestByKey(df, Model.keyColumns, "lsn"))
+      base == rows(graft.ops.Dedup.latestByKeyJoin(df, Model.keyColumns, "lsn")) &&
+        base == rows(graft.ops.Dedup.latestByKeyWindow(df, Model.keyColumns, "lsn"))
+    }, 10)
+  }
+
   test("duplicated + unordered delivery converges to the same state (tombstone path)") {
     holds(Prop.forAllNoShrink(genEvents, Gen.choose(42L, 46L)) { (evs, seed) =>
       // duplicate a third of the events and shuffle delivery order across
