@@ -46,7 +46,7 @@ object Bench {
     val p = new CdcPipeline(PipelineConfig(binlogDir, tableRoot,
       segmentsPerBatch = 1, numBuckets = 32, saltBuckets = 0))
     val t0 = System.nanoTime()
-    p.runAll(spark)
+    p.runAllPipelined(spark)
     val sec = (System.nanoTime() - t0) / 1e9
     rmTree(tableRoot)
     sec
@@ -135,9 +135,12 @@ object Bench {
       // merge) dominate the per-batch fixed latency the cluster size can't
       // help with; Zipf over 50k conversations keeps a realistic hot-key
       // profile.
+      // 4 micro-batches: enough steady state for the pipelined drain to
+      // overlap batch k+1's dedup with batch k's write, while per-batch
+      // fixed costs (commit, stats job) stay amortized.
       val cfg = BinlogConfig(numEvents = numEvents,
         numConversations = math.max(64, (numEvents / 640).toInt),
-        maxTurns = 32, segmentSize = numEvents / 2, dupPct = 1,
+        maxTurns = 32, segmentSize = numEvents / 4, dupPct = 1,
         evolveAtLsn = numEvents / 2, filesPerSegment = 32)
       BinlogGenerator.writeSegments(spark0, cfg, binlogDir)
       spark0.stop()
@@ -200,21 +203,29 @@ object Bench {
       val ladder = sys.env.get("SPARK_GRAFT_BENCH_N")
         .map(n => Seq(n.toInt))
         .getOrElse(Seq(8, 4, 2, 1))
+      // wall-clock budget for the whole scaling section: the ladder stops
+      // descending once spent (keeps the per-round bench bounded)
+      val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "900").toInt
+      val ladderT0 = System.nanoTime()
+      def spent: Double = (System.nanoTime() - ladderT0) / 1e9
       case class ProtoResult(nLo: Int, ceiling: Double, eff: Double,
           trials: Seq[Trial], skipped: Boolean)
       var results = Vector.empty[ProtoResult]
       var chosen: Option[ProtoResult] = None
-      ladder.iterator.takeWhile(_ => chosen.isEmpty).foreach { nLo =>
-        val ceil = hostCeiling(nLo, nLo * 4)
-        if (ceil < ceilCap && ladder.size > 1) {
-          results :+= ProtoResult(nLo, ceil, 0.0, Nil, skipped = true)
-        } else {
-          val (eff, trials) = runProtocol(nLo)
-          val r = ProtoResult(nLo, ceil, eff, trials, skipped = false)
-          results :+= r
-          if (eff >= 0.8) chosen = Some(r)
+      ladder.iterator
+        .takeWhile(_ => chosen.isEmpty &&
+          (results.isEmpty || spent < budgetSec))
+        .foreach { nLo =>
+          val ceil = hostCeiling(nLo, nLo * 4)
+          if (ceil < ceilCap && ladder.size > 1) {
+            results :+= ProtoResult(nLo, ceil, 0.0, Nil, skipped = true)
+          } else {
+            val (eff, trials) = runProtocol(nLo)
+            val r = ProtoResult(nLo, ceil, eff, trials, skipped = false)
+            results :+= r
+            if (eff >= 0.8) chosen = Some(r)
+          }
         }
-      }
       val pick = chosen.getOrElse(
         results.filterNot(_.skipped).maxByOption(_.eff).getOrElse(results.last))
       val nLo = pick.nLo

@@ -216,6 +216,60 @@ class CdcPipeline(val cfg: PipelineConfig) {
     n
   }
 
+  /** Pipelined drain: batch k+1's PREPARE (scan + dedup shuffle — the
+    * CPU-heavy, table-independent phase) runs concurrently with batch k's
+    * APPLY (join + file write + commit — IO-heavy), so the cluster's cores
+    * stay busy through the write's IO waits and stage tails. Correctness
+    * is unchanged: prepare touches no table state, and the exact
+    * high-water-mark redelivery filter runs inside apply (see
+    * [[graft.ops.MergeInto.prepare]]). This is the engine's analogue of
+    * the reference's concurrent queue-drain + uploader pool
+    * (QueuedSink.run feeding RemoteFileSink's upload executor,
+    * RemoteFileSink.java:151-216) — intake keeps flowing while the sink
+    * flushes.
+    */
+  def runAllPipelined(spark: SparkSession, maxBatches: Int = Int.MaxValue): Int = {
+    require(cfg.routeFilterFile.isEmpty && !cfg.quarantine,
+      "pipelined drain is the trusted-source fast path; route filters and " +
+        "quarantine need the sequential runAll (the batch must be routed " +
+        "before the table-independent prepare)")
+    ensureTable()
+    val exec = java.util.concurrent.Executors.newSingleThreadExecutor()
+    def prep(slice: Seq[String]): java.util.concurrent.Future[DataFrame] =
+      exec.submit(new java.util.concurrent.Callable[DataFrame] {
+        def call(): DataFrame = MergeInto.prepare(spark,
+          readBatch(spark, slice), table.loadCurrent().numBuckets,
+          cfg.saltBuckets)
+      })
+    var n = 0
+    try {
+      var cursor = consumedSegment()
+      var slice = listSegments().filter(s => segNum(s) > cursor).take(cfg.segmentsPerBatch)
+      if (slice.isEmpty) return 0
+      var pendingPrep = prep(slice)
+      while (slice.nonEmpty && n < maxBatches) {
+        val curSlice = slice
+        val curPrep = pendingPrep
+        cursor = slice.map(segNum).max
+        slice = listSegments().filter(s => segNum(s) > cursor).take(cfg.segmentsPerBatch)
+        pendingPrep =
+          if (slice.isEmpty || n + 1 >= maxBatches) null
+          else prep(slice)
+        val prepared = curPrep.get()
+        val t0 = System.nanoTime()
+        val next = lastCommittedBatch() + 1
+        val r = MergeInto(spark, table, readBatch(spark, curSlice), batchKey(next),
+          source = curSlice.mkString(","), saltBuckets = cfg.saltBuckets,
+          cursor = Some(cfg.sourceId -> curSlice.map(segNum).max),
+          prepared = Some(prepared))
+        n += 1
+        if (verbose) println(f"[cdc] batch applied in ${(System.nanoTime() - t0) / 1e9}%.2fs " +
+          f"(upserts=${r.upserts} deletes=${r.deletes} rewrote=${r.rewrittenFiles} added=${r.addedFiles})")
+      }
+      n
+    } finally exec.shutdown()
+  }
+
   /** Per-batch timing log (set for profiling / CLI runs). */
   @volatile var verbose: Boolean = false
 

@@ -19,8 +19,9 @@ import org.apache.spark.sql.SparkSession
 object RunCdc {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "subcommand required: generate|run|stream|state|lineage")
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+    val master = sys.env.getOrElse("SPARK_MASTER", "local[4]")
+    val spark = graft.util.Sessions.tuneForMaster(SparkSession.builder()
+      .master(master), master)
       .appName("graft-cdc")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
@@ -54,7 +55,10 @@ object RunCdc {
       p.verbose = true
       graft.ops.MergeInto.profile = sys.env.get("GRAFT_PROFILE").contains("1")
       val t0 = System.nanoTime()
-      val n = p.runAll(spark)
+      // GRAFT_PIPELINED=1: overlap next batch's dedup with current apply
+      val n =
+        if (sys.env.get("GRAFT_PIPELINED").contains("1")) p.runAllPipelined(spark)
+        else p.runAll(spark)
       val sec = (System.nanoTime() - t0) / 1e9
       val snap = p.table.loadCurrent()
       println(f"applied $n batches in $sec%.1fs; snapshot v${snap.version} " +

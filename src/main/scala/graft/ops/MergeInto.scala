@@ -82,13 +82,46 @@ object MergeInto {
   /** Phase-timing log for profiling runs. */
   @volatile var profile: Boolean = false
 
+  /** The table-independent heavy phase: LWW dedup of a raw batch, bucket
+    * assignment, persisted. Safe to run CONCURRENTLY with the previous
+    * batch's apply (it reads no table state) — the pipelined driver
+    * overlaps this scan+shuffle with the predecessor's IO-bound write.
+    * The exact high-water-mark redelivery filter happens at apply time
+    * over this (small) cached result, so preparing against a not-yet-
+    * committed predecessor cannot resurrect deleted rows.
+    */
+  def prepare(spark: SparkSession, batch: DataFrame, numBuckets: Int,
+      saltBuckets: Int = 0): DataFrame = {
+    val d = dedupOnly(batch, numBuckets, saltBuckets).cache()
+    d.count() // materialize now — that's the point of the overlap
+    d
+  }
+
+  private def dedupOnly(batch: DataFrame, numBuckets: Int,
+      saltBuckets: Int): DataFrame = {
+    // Window dedup by default: one hash shuffle + one reduce-side sort.
+    // In the common CDC shape (keyspace >> per-task events) max_by's
+    // map-side combine reduces nothing, so its extra map-side sort of the
+    // full batch costs ~40% of the dedup phase (measured in DedupBench:
+    // 4.2M vs 2.9M events/s at 16 cores, and better 4->16 scaling).
+    // Salted max_by remains the explicit hot-key path.
+    val deduped0 =
+      if (saltBuckets > 1)
+        Dedup.saltedLatest(batch, Model.keyColumns, Model.ordColumn, saltBuckets)
+      else Dedup.latestByKeyWindow(batch, Model.keyColumns, Model.ordColumn)
+    deduped0.withColumn("__bucket",
+      ChronicleTable.bucketExpr("conv_id", numBuckets))
+  }
+
   def apply(spark: SparkSession, table: ChronicleTable, batch: DataFrame,
       batchKey: String, source: String, saltBuckets: Int = 0,
       orderedSource: Boolean = true,
-      cursor: Option[(String, Long)] = None): MergeResult = {
+      cursor: Option[(String, Long)] = None,
+      prepared: Option[DataFrame] = None): MergeResult = {
     val base = table.loadCurrent()
     if (ChronicleTable.isCommitted(base, batchKey)) {
       // Exactly-once: replay of an already-applied batch is a no-op.
+      prepared.foreach(_.unpersist())
       return MergeResult(base, skipped = true, 0, 0, 0, 0)
     }
 
@@ -104,27 +137,19 @@ object MergeInto {
       StructField(Model.deletedColumn, BooleanType, nullable = false)))
     val evolved = mergedPayload.fieldNames.toSeq != tablePayload.fieldNames.toSeq
 
-    // --- high-water-mark dedup (ordered sources) + intra-batch LWW -------
-    // For an in-order log, anything at-or-below the applied high-water mark
-    // is a redelivery: drop it before it costs a shuffle. For unordered
-    // epoch delivery (the streaming file source) the per-key guard +
-    // tombstones below carry correctness instead.
-    val fresh =
-      if (orderedSource) batch.filter(col(Model.ordColumn) > lit(base.hwmLsn))
-      else batch
-    // Window dedup by default: one hash shuffle + one reduce-side sort.
-    // In the common CDC shape (keyspace >> per-task events) max_by's
-    // map-side combine reduces nothing, so its extra map-side sort of the
-    // full batch costs ~40% of the dedup phase (measured in DedupBench:
-    // 4.2M vs 2.9M events/s at 16 cores, and better 4->16 scaling).
-    // Salted max_by remains the explicit hot-key path.
-    val deduped0 =
-      if (saltBuckets > 1)
-        Dedup.saltedLatest(fresh, Model.keyColumns, Model.ordColumn, saltBuckets)
-      else Dedup.latestByKeyWindow(fresh, Model.keyColumns, Model.ordColumn)
-    val deduped = deduped0
-      .withColumn("__bucket", ChronicleTable.bucketExpr("conv_id", base.numBuckets))
-      .cache()
+    val dedupedAll = prepared.getOrElse(
+      dedupOnly(batch, base.numBuckets, saltBuckets).cache())
+    // --- high-water-mark redelivery filter (ordered sources) -------------
+    // Applied AFTER dedup, over the small cached result: per key the
+    // winner's LSN is the batch maximum, so a winner at-or-below the
+    // applied high-water mark means every event for that key is a
+    // redelivery — dropping it is exactly the pre-dedup filter's effect
+    // (this ordering is what lets `prepare` run table-independently; it
+    // also keeps a late redelivery of a pre-delete insert from winning:
+    // its LSN cannot exceed the hwm that covered the delete).
+    val deduped =
+      if (orderedSource) dedupedAll.filter(col(Model.ordColumn) > lit(base.hwmLsn))
+      else dedupedAll
 
     try {
       def tick[T](name: String)(f: => T): T = {
@@ -245,7 +270,7 @@ object MergeInto {
         if (evolved) Some(physicalSchema) else None, lineage, cursor)
       val next = table.commit(base, pending)
       MergeResult(next, skipped = false, n - deletes, deletes, touched.size, added.size)
-    } finally deduped.unpersist()
+    } finally dedupedAll.unpersist()
   }
 
   /** Project `df` onto `schema`: shared columns pass through, columns the

@@ -1,0 +1,38 @@
+package graft.util
+
+import org.apache.spark.sql.SparkSession
+
+/** Session plumbing shared by the CLI mains.
+  *
+  * `local-cluster[n,cores,memMB]` masters spawn REAL executor JVMs (one
+  * heap + GC + shuffle pipeline per executor) — the faithful single-box
+  * stand-in for the rule's N vs 4N EXECUTORS, where plain `local[k]`
+  * multiplexes every task over one shared JVM whose GC/allocator/scheduler
+  * contention grows with k and systematically understates cluster scaling.
+  * Executors are separate processes, so the driver's classpath and JDK17
+  * add-opens must be forwarded explicitly.
+  */
+object Sessions {
+
+  val jdk17AddOpens: Seq[String] = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).map(p => s"--add-opens $p=ALL-UNNAMED")
+
+  /** Apply executor-process plumbing when the master launches separate
+    * executor JVMs; no-op for in-process masters.
+    */
+  def tuneForMaster(b: SparkSession.Builder, master: String): SparkSession.Builder = {
+    if (master.startsWith("local-cluster")) {
+      b.config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
+        .config("spark.executor.extraJavaOptions",
+          (jdk17AddOpens :+ "-XX:+UseParallelGC").mkString(" "))
+    }
+    b
+  }
+}

@@ -205,6 +205,32 @@ class CdcPipelineSpec extends SparkSpec {
     assert(bad.select("id").as[String].collect().toSeq == Seq("b"))
   }
 
+  test("pipelined drain equals sequential on a delete+dup-heavy log") {
+    // stress the prepare/apply overlap's correctness edge: duplicates
+    // re-emitted into the NEXT segment after a later delete of the same key
+    // must not resurrect the row (the hwm filter runs at apply time)
+    val cfg = BinlogConfig(numEvents = 2400, numConversations = 12,
+      segmentSize = 200, dupPct = 25, pDelete = 0.2)
+    val src = tmpDir("binlog-pipe")
+    BinlogGenerator.writeSegments(spark, cfg, src)
+    val pa = new CdcPipeline(PipelineConfig(src, tmpDir("table-pipe-a"),
+      segmentsPerBatch = 2, numBuckets = 4))
+    pa.runAll(spark)
+    val pb = new CdcPipeline(PipelineConfig(src, tmpDir("table-pipe-b"),
+      segmentsPerBatch = 2, numBuckets = 4))
+    val batches = pb.runAllPipelined(spark)
+    assert(batches == 6)
+    assert(tableRows(pb) == tableRows(pa))
+    assert(tableRows(pb) == oracleRows(cfg))
+    // kill-resume across the pipelined path: crash then resume pipelined
+    val pc = new CdcPipeline(PipelineConfig(src, tmpDir("table-pipe-c"),
+      segmentsPerBatch = 2, numBuckets = 4))
+    pc.runAllPipelined(spark, maxBatches = 3)
+    val pc2 = new CdcPipeline(pc.cfg)
+    pc2.runAllPipelined(spark)
+    assert(tableRows(pc2) == oracleRows(cfg))
+  }
+
   test("adaptive batching: backpressure policy sizes batches; replay still converges") {
     val cfg = BinlogConfig(numEvents = 800, numConversations = 8,
       segmentSize = 100, dupPct = 5)
