@@ -49,11 +49,11 @@ object Compaction {
     // hash-repartition by bucket (not by range): with partitionBy splitting
     // per bucket value at write, this yields exactly ONE file per compacted
     // bucket even when buckets collide into a shuffle partition
-    kept
+    MergeInto.withMicrosTimestamps(spark)(kept
       .withColumn("bucket", ChronicleTable.bucketExpr("conv_id", base.numBuckets))
       .repartition(math.max(1, targets.size), col("bucket"))
       .sortWithinPartitions("bucket", "conv_id", "turn_idx")
-      .write.partitionBy("bucket").mode("overwrite").parquet(staging)
+      .write.partitionBy("bucket").mode("overwrite").parquet(staging))
 
     val added = MergeInto.collectStats(spark, staging)
     val dropped = victims.map(_.rows).sum - added.map(_.rows).sum

@@ -249,14 +249,14 @@ object MergeInto {
       val parts = math.max(1, math.min(
         spark.conf.get("spark.sql.shuffle.partitions").toInt, buckets.size * 4))
       val splitsPerBucket = math.max(1, parts / math.max(1, buckets.size))
-      tick("write")(newData
+      tick("write")(withMicrosTimestamps(spark)(newData
         .withColumn("bucket", ChronicleTable.bucketExpr("conv_id", base.numBuckets))
         .withColumn("__split",
           pmod(xxhash64(col("conv_id"), lit(1)), lit(splitsPerBucket)))
         .repartition(parts, col("bucket"), col("__split"))
         .drop("__split")
         .sortWithinPartitions("bucket", "conv_id", "turn_idx")
-        .write.partitionBy("bucket").mode("overwrite").parquet(staging))
+        .write.partitionBy("bucket").mode("overwrite").parquet(staging)))
 
       val added = tick("stats-job")(collectFileStats(spark, staging))
 
@@ -285,10 +285,10 @@ object MergeInto {
     }: _*)
   }
 
-  /** Per-file manifest stats (row count, conv_id min/max, ts min/max),
-    * collected by a DISTRIBUTED column-pruned aggregate over the freshly
-    * written files grouped by `input_file_name()` — the driver does no
-    * per-file IO. A commit adds O(shuffle partitions) files; opening every
+  /** Per-file manifest stats (row count, conv_id min/max, ts min/max) from
+    * the parquet FOOTERS, read by a tiny DISTRIBUTED job over the file list
+    * — metadata-only (no column data is scanned) and no driver-side per-
+    * file IO. A commit adds O(shuffle partitions) files; opening every
     * footer on the driver would be O(files) serial driver work per commit,
     * the kind that caps commit rate at 100× (Iceberg collects these stats
     * from write-task results for the same reason).
@@ -303,25 +303,64 @@ object MergeInto {
       .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
       .map(_.toString).toSeq.sorted
     if (paths.isEmpty) return Nil
-    val stats = spark.read.option("basePath", staging).parquet(paths: _*)
-      .groupBy(input_file_name().as("__f"), col("bucket"))
-      .agg(count(lit(1)).as("rows"),
-        min("conv_id").as("minKey"), max("conv_id").as("maxKey"),
-        coalesce(unix_millis(min("ts")), lit(0L)).as("minTs"),
-        coalesce(unix_millis(max("ts")), lit(0L)).as("maxTs"))
-      .collect()
-    stats.toSeq.map { r =>
-      // input_file_name yields a URI (file:///...); manifests store plain
-      // paths so gcOrphans/read can compare against filesystem walks
-      val raw = r.getAs[String]("__f")
-      val p = if (raw.startsWith("file:"))
-        java.nio.file.Paths.get(new java.net.URI(raw)).toString
-      else raw
-      DataFileMeta(p, r.getAs[Long]("rows"), r.getAs[Int]("bucket"),
-        Option(r.getAs[String]("minKey")).getOrElse(""),
-        Option(r.getAs[String]("maxKey")).getOrElse("￿"),
-        r.getAs[Long]("minTs"), r.getAs[Long]("maxTs"))
-    }.filter(_.rows > 0).sortBy(_.path)
+    import spark.implicits._
+    val parallelism = math.max(1, math.min(paths.size,
+      spark.sparkContext.defaultParallelism))
+    spark.createDataset(paths)
+      .repartition(parallelism)
+      .mapPartitions(it => it.map(readFooterStats))
+      .collect().toSeq
+      .filter(_.rows > 0).sortBy(_.path)
+  }
+
+  /** Run `body` with parquet timestamps written as INT64 micros: Spark's
+    * INT96 default writes NO usable column statistics, which would blind
+    * the footer-based manifest stats (and every engine's row-group
+    * pruning) for the ts column. Readers handle both encodings.
+    */
+  private[ops] def withMicrosTimestamps[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  /** Executor-side footer read for one data file. */
+  private def readFooterStats(f: String): DataFileMeta = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val bucketRe = ".*/bucket=(\\d+)/[^/]+$".r
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new HPath(f), new org.apache.hadoop.conf.Configuration()))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala
+      val rows = blocks.map(_.getRowCount).sum
+      def colStats(name: String) = blocks.flatMap(_.getColumns.asScala
+        .filter(_.getPath.toDotString == name).map(_.getStatistics))
+      val keyStats = colStats("conv_id").collect {
+        case s: org.apache.parquet.column.statistics.BinaryStatistics if !s.isEmpty =>
+          (s.genericGetMin.toStringUsingUTF8, s.genericGetMax.toStringUsingUTF8)
+      }
+      // TimestampType is physically INT64 micros; manifest stores millis
+      val tsStats = colStats("ts").collect {
+        case s: org.apache.parquet.column.statistics.LongStatistics if !s.isEmpty =>
+          (s.genericGetMin / 1000L, s.genericGetMax / 1000L)
+      }
+      val bucket = f match {
+        case bucketRe(b) => b.toInt
+        case _ => -1
+      }
+      DataFileMeta(f, rows, bucket,
+        if (keyStats.isEmpty) "" else keyStats.map(_._1).min,
+        if (keyStats.isEmpty) "￿" else keyStats.map(_._2).max,
+        if (tsStats.isEmpty) 0L else tsStats.map(_._1).min,
+        if (tsStats.isEmpty) 0L else tsStats.map(_._2).max)
+    } finally reader.close()
   }
 
   /** Canonical change-event projection (lsn, op, payload...). */
