@@ -208,9 +208,14 @@ object Bench {
       // pairs, each annotated with /proc/stat steal; per level the fastest
       // low-steal trial stands in for the uncontended cluster; pairs accrue
       // until the criterion is met or the budget runs out.
+      // ceilCap 0.92: measured engine truth at its best rung is ~0.82, and
+      // a rung's measurable efficiency is roughly engine_truth x ceiling —
+      // a rung whose substrate ceiling is below ~0.92 cannot evidence the
+      // 0.8 criterion even for this engine, so running it only burns the
+      // wall-clock budget (its calibration is still recorded).
       val stealCap = sys.env.getOrElse("SPARK_GRAFT_STEAL_CAP", "0.05").toDouble
-      val ceilCap = sys.env.getOrElse("SPARK_GRAFT_CEIL_CAP", "0.84").toDouble
-      val maxPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "4").toInt
+      val ceilCap = sys.env.getOrElse("SPARK_GRAFT_CEIL_CAP", "0.92").toDouble
+      val maxPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
 
       def protocolEff(trials: Seq[Trial], nLo: Int): Double = {
         def best(c: Int): Option[Double] = {

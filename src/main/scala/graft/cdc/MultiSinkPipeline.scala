@@ -105,6 +105,50 @@ class MultiSinkPipeline(val cfg: PipelineConfig, val routes: Seq[RouteConfig],
     n
   }
 
+  /** Structured Streaming variant: Spark's file source tracks offsets in
+    * its checkpoint; each epoch fans out (persisted — one source read) to
+    * every sink's idempotent MERGE. A replayed epoch after restart is
+    * skipped per sink by its own batchKey ledger, so the crash window
+    * where only SOME sinks committed an epoch heals exactly like the batch
+    * path. Unordered epochs -> tombstone/LSN-guard merge mode.
+    */
+  def startStream(spark: SparkSession, checkpointDir: String,
+      maxFilesPerTrigger: Int = 8): org.apache.spark.sql.streaming.StreamingQuery = {
+    ensureTables()
+    val stream = spark.readStream
+      .schema(Model.changeSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(s"${cfg.sourceDir}/segment=*")
+      .select(MergeInto.changeColumns: _*)
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val batchKey = s"${cfg.sourceId}-ss#$id"
+        batch.persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val preds = compiled
+          val noneMatched = preds.map { case (_, p) => !p }
+            .reduceOption(_ && _).getOrElse(lit(true))
+          preds.foreach { case (r, pred) =>
+            val routed = r.alias match {
+              case Some(a) => batch.filter(pred).withColumn("conv_id", lit(a))
+              case None => batch.filter(pred)
+            }
+            MergeInto(batch.sparkSession, tables(r.sink), routed, batchKey,
+              source = s"stream-epoch-$id", saltBuckets = cfg.saltBuckets,
+              orderedSource = false)
+          }
+          MergeInto(batch.sparkSession, tables(defaultSink),
+            batch.filter(noneMatched), batchKey,
+            source = s"stream-epoch-$id", saltBuckets = cfg.saltBuckets,
+            orderedSource = false)
+          ()
+        } finally batch.unpersist()
+      }
+      .start()
+  }
+
   /** Final visible state of one sink, stable turn order. */
   def sinkState(spark: SparkSession, sink: String): DataFrame =
     tables(sink).read(spark)

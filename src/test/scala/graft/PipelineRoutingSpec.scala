@@ -117,5 +117,38 @@ class PipelineRoutingSpec extends SparkSpec {
     }
   }
 
+  test("streaming multi-sink fan-out converges per sink (unordered epochs)") {
+    import graft.cdc.MultiSinkPipeline
+    import graft.routing.RouteConfig
+    val cfg = BinlogConfig(numEvents = 1000, numConversations = 8,
+      segmentSize = 200, dupPct = 5)
+    val src = tmpDir("binlog-msink-ss")
+    val tbl = tmpDir("table-msink-ss")
+    BinlogGenerator.writeSegments(spark, cfg, src)
+    val routes = Seq(RouteConfig("users", Some("""xpath("role") = "user"""")))
+    val p = new MultiSinkPipeline(
+      PipelineConfig(src, tbl, sourceId = "mss", numBuckets = 4), routes)
+    val q = p.startStream(spark, tmpDir("ckpt-msink"), maxFilesPerTrigger = 4)
+    q.awaitTermination(120000)
+    def fold(pred: graft.model.Model.ChangeEvent => Boolean) = {
+      val cdf = BinlogGenerator.zipfCdf(cfg.numConversations, cfg.zipfS)
+      val st = scala.collection.mutable.Map[(String, Int), String]()
+      (0L until cfg.numEvents).foreach { lsn =>
+        val ev = BinlogGenerator.eventAt(cfg, cdf, lsn)
+        if (pred(ev)) {
+          if (ev.op == "D") st.remove((ev.conv_id, ev.turn_idx))
+          else st((ev.conv_id, ev.turn_idx)) = ev.text
+        }
+      }
+      st.toSeq.sortBy(_._1)
+    }
+    def state(sink: String) = p.sinkState(spark, sink)
+      .select("conv_id", "turn_idx", "text").collect().toSeq
+      .map(r => ((r.getString(0), r.getInt(1)), r.getString(2)))
+      .sortBy(_._1)
+    assert(state("users") == fold(_.role == "user"))
+    assert(state("default") == fold(_.role != "user"))
+  }
+
   private def ts(i: Long) = new java.sql.Timestamp(i * 1000)
 }
