@@ -235,23 +235,39 @@ class CdcPipeline(val cfg: PipelineConfig) {
         "before the table-independent prepare)")
     ensureTable()
     val exec = java.util.concurrent.Executors.newSingleThreadExecutor()
+    // prepare jobs run under their own job group so an apply-side failure
+    // can CANCEL the in-flight prepare (a bare Future.cancel would only
+    // interrupt the submitter thread and leave the Spark job running)
+    val prepGroup = s"graft-prep-${java.util.UUID.randomUUID()}"
     def prep(slice: Seq[String]): java.util.concurrent.Future[DataFrame] =
       exec.submit(new java.util.concurrent.Callable[DataFrame] {
-        def call(): DataFrame = MergeInto.prepare(spark,
-          readBatch(spark, slice), table.loadCurrent().numBuckets,
-          cfg.saltBuckets)
+        def call(): DataFrame = {
+          spark.sparkContext.setJobGroup(prepGroup,
+            "pipelined micro-batch prepare", interruptOnCancel = true)
+          try MergeInto.prepare(spark,
+            readBatch(spark, slice), table.loadCurrent().numBuckets,
+            cfg.saltBuckets)
+          finally spark.sparkContext.clearJobGroup()
+        }
       })
+    // Backpressure in the pipelined drain: the slice size is re-read from
+    // dynamicSpb at every selection, but selection happens one batch AHEAD
+    // of the apply that measures the rate (that overlap is the point of the
+    // pipeline), so sizing reacts with a one-batch lag — the same
+    // pending/throughput feedback as runAll, minus one step of latency.
+    def spbNow: Int = if (cfg.adaptiveBatching) dynamicSpb else cfg.segmentsPerBatch
     var n = 0
+    var pendingPrep: java.util.concurrent.Future[DataFrame] = null
     try {
       var cursor = consumedSegment()
-      var slice = listSegments().filter(s => segNum(s) > cursor).take(cfg.segmentsPerBatch)
+      var slice = listSegments().filter(s => segNum(s) > cursor).take(spbNow)
       if (slice.isEmpty) return 0
-      var pendingPrep = prep(slice)
+      pendingPrep = prep(slice)
       while (slice.nonEmpty && n < maxBatches) {
         val curSlice = slice
         val curPrep = pendingPrep
         cursor = slice.map(segNum).max
-        slice = listSegments().filter(s => segNum(s) > cursor).take(cfg.segmentsPerBatch)
+        slice = listSegments().filter(s => segNum(s) > cursor).take(spbNow)
         pendingPrep =
           if (slice.isEmpty || n + 1 >= maxBatches) null
           else prep(slice)
@@ -262,12 +278,26 @@ class CdcPipeline(val cfg: PipelineConfig) {
           source = curSlice.mkString(","), saltBuckets = cfg.saltBuckets,
           cursor = Some(cfg.sourceId -> curSlice.map(segNum).max),
           prepared = Some(prepared))
+        val applySec = (System.nanoTime() - t0) / 1e9
+        if (cfg.adaptiveBatching)
+          dynamicSpb = nextBatchSize(curSlice.size, applySec,
+            cfg.targetBatchSec, cfg.segmentsPerBatch)
         n += 1
-        if (verbose) println(f"[cdc] batch applied in ${(System.nanoTime() - t0) / 1e9}%.2fs " +
+        if (verbose) println(f"[cdc] batch applied in $applySec%.2fs " +
           f"(upserts=${r.upserts} deletes=${r.deletes} rewrote=${r.rewrittenFiles} added=${r.addedFiles})")
       }
       n
-    } finally exec.shutdown()
+    } catch {
+      case t: Throwable =>
+        // don't leak the in-flight next-batch prepare: cancel its Spark job
+        // and unpersist its cached dedup result if it already completed
+        if (pendingPrep != null) {
+          spark.sparkContext.cancelJobGroup(prepGroup)
+          try pendingPrep.get(30, java.util.concurrent.TimeUnit.SECONDS).unpersist()
+          catch { case _: Throwable => () }
+        }
+        throw t
+    } finally exec.shutdownNow()
   }
 
   /** Per-batch timing log (set for profiling / CLI runs). */

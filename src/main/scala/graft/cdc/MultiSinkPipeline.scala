@@ -61,6 +61,22 @@ class MultiSinkPipeline(val cfg: PipelineConfig, val routes: Seq[RouteConfig],
     r -> coalesce(r.filter.map(FilterDsl.compile).getOrElse(lit(true)), lit(false))
   }
 
+  /** A route alias here labels the rows, it does NOT rewrite the key: the
+    * sink MERGE dedups on (conv_id, turn_idx), so overwriting conv_id (the
+    * reference's routing-key rewrite, MessageRouter.java:85-88 — lossless
+    * there because its sinks are append-only) would collapse every
+    * conversation in the sink to one key per turn_idx and silently drop
+    * rows. The alias instead lands in a `route_alias` column, added to the
+    * sink's schema by the normal evolution path — downstream readers see
+    * which route produced each row, and the raw-parquet fan-out surfaces
+    * ([[graft.routing.Router.fanout]]/`fanoutWrite`) keep the reference's
+    * key-rewrite semantics where they are lossless.
+    */
+  private def aliased(df: DataFrame, r: RouteConfig): DataFrame = r.alias match {
+    case Some(a) => df.withColumn("route_alias", lit(a))
+    case None => df
+  }
+
   /** Slowest sink's consumed-segment cursor = the global resume point. */
   def consumedSegment(): Long =
     tables.values.map(_.loadCurrent().cursors.getOrElse(cfg.sourceId, -1L)).min
@@ -83,11 +99,7 @@ class MultiSinkPipeline(val cfg: PipelineConfig, val routes: Seq[RouteConfig],
       val noneMatched = preds.map { case (_, p) => !p }
         .reduceOption(_ && _).getOrElse(lit(true))
       val results = preds.map { case (r, pred) =>
-        val routed = r.alias match {
-          case Some(a) => batch.filter(pred).withColumn("conv_id", lit(a))
-          case None => batch.filter(pred)
-        }
-        r.sink -> MergeInto(spark, tables(r.sink), routed, batchKey,
+        r.sink -> MergeInto(spark, tables(r.sink), aliased(batch.filter(pred), r), batchKey,
           source = slice.mkString(","), saltBuckets = cfg.saltBuckets,
           cursor = advance)
       } :+ (defaultSink -> MergeInto(spark, tables(defaultSink),
@@ -131,11 +143,8 @@ class MultiSinkPipeline(val cfg: PipelineConfig, val routes: Seq[RouteConfig],
           val noneMatched = preds.map { case (_, p) => !p }
             .reduceOption(_ && _).getOrElse(lit(true))
           preds.foreach { case (r, pred) =>
-            val routed = r.alias match {
-              case Some(a) => batch.filter(pred).withColumn("conv_id", lit(a))
-              case None => batch.filter(pred)
-            }
-            MergeInto(batch.sparkSession, tables(r.sink), routed, batchKey,
+            MergeInto(batch.sparkSession, tables(r.sink),
+              aliased(batch.filter(pred), r), batchKey,
               source = s"stream-epoch-$id", saltBuckets = cfg.saltBuckets,
               orderedSource = false)
           }

@@ -6,7 +6,6 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructType}
 
-import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
 
 /** Result of one merge attempt. */
@@ -292,23 +291,37 @@ object MergeInto {
     * footer on the driver would be O(files) serial driver work per commit,
     * the kind that caps commit rate at 100× (Iceberg collects these stats
     * from write-task results for the same reason).
+    *
+    * Listing goes through the Hadoop FileSystem API (not java.nio), so the
+    * staging directory can live on any configured filesystem (S3A, HDFS);
+    * the footer reads on executors carry the SESSION's Hadoop configuration
+    * (spark.hadoop.* credentials/endpoints), not a default one.
     */
   private[ops] def collectStats(spark: SparkSession, staging: String): Seq[DataFileMeta] =
     collectFileStats(spark, staging)
 
   private def collectFileStats(spark: SparkSession, staging: String): Seq[DataFileMeta] = {
-    val stagingPath = Paths.get(staging)
-    if (!Files.exists(stagingPath)) return Nil
-    val paths = Files.walk(stagingPath).iterator().asScala
-      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
-      .map(_.toString).toSeq.sorted
+    import org.apache.hadoop.fs.{Path => HPath}
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val stagingPath = new HPath(staging)
+    val fs = stagingPath.getFileSystem(hadoopConf)
+    if (!fs.exists(stagingPath)) return Nil
+    // one recursive LIST call (object stores serve this as a flat prefix
+    // listing — no per-directory walk), returning paths WITH sizes; only
+    // the footer decode is shipped to executors
+    val it = fs.listFiles(stagingPath, true)
+    val paths = Iterator.continually(it)
+      .takeWhile(_.hasNext).map(_.next())
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toUri.getPath).toSeq.sorted
     if (paths.isEmpty) return Nil
     import spark.implicits._
+    val serConf = new org.apache.spark.util.SerializableConfiguration(hadoopConf)
     val parallelism = math.max(1, math.min(paths.size,
       spark.sparkContext.defaultParallelism))
     spark.createDataset(paths)
       .repartition(parallelism)
-      .mapPartitions(it => it.map(readFooterStats))
+      .mapPartitions(it => it.map(p => readFooterStats(p, serConf.value)))
       .collect().toSeq
       .filter(_.rows > 0).sortBy(_.path)
   }
@@ -329,14 +342,18 @@ object MergeInto {
     }
   }
 
-  /** Executor-side footer read for one data file. */
-  private def readFooterStats(f: String): DataFileMeta = {
+  /** Executor-side footer read for one data file, under the session's
+    * Hadoop configuration (a default `new Configuration()` here would drop
+    * spark.hadoop.* credentials and break on any non-default filesystem).
+    */
+  private def readFooterStats(f: String,
+      conf: org.apache.hadoop.conf.Configuration): DataFileMeta = {
     import org.apache.hadoop.fs.{Path => HPath}
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val bucketRe = ".*/bucket=(\\d+)/[^/]+$".r
     val reader = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new HPath(f), new org.apache.hadoop.conf.Configuration()))
+      HadoopInputFile.fromPath(new HPath(f), conf))
     try {
       val blocks = reader.getFooter.getBlocks.asScala
       val rows = blocks.map(_.getRowCount).sum

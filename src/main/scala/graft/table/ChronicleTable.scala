@@ -376,32 +376,50 @@ class ChronicleTable(val root: String) {
 object ChronicleTable {
   private val ManifestName = """v(\d+)\.json""".r
   private val NumberedKey = """(.+)#(\d+)""".r
+  private val RangeKey = """(.+)#(\d+)-(\d+)""".r
 
-  /** Has `batchKey` been committed into `snap`? Either at-or-below the
+  /** The unit range a batch key covers: `p#n` covers [n, n] (one batch
+    * index), `p#lo-hi` covers [lo, hi] (a segment range — the
+    * MultiSinkPipeline's deterministic batch identity). Keys of neither
+    * shape have no range and always stay explicit in the ledger.
+    */
+  private def keyRange(k: String): Option[(String, Long, Long)] = k match {
+    case RangeKey(p, lo, hi) => Some((p, lo.toLong, hi.toLong))
+    case NumberedKey(p, n) => Some((p, n.toLong, n.toLong))
+    case _ => None
+  }
+
+  /** Has `batchKey` been committed into `snap`? Either fully covered by the
     * max-contiguous floor of its prefix, or in the explicit recent window.
     */
   def isCommitted(snap: Snapshot, batchKey: String): Boolean =
-    snap.committedBatches.contains(batchKey) || (batchKey match {
-      case NumberedKey(prefix, n) => snap.floors.get(prefix).exists(_ >= n.toLong)
-      case _ => false
-    })
+    snap.committedBatches.contains(batchKey) || keyRange(batchKey).exists {
+      case (prefix, _, hi) => snap.floors.get(prefix).exists(_ >= hi)
+    }
 
   /** Advance per-prefix contiguous floors and drop the keys they cover.
-    * Non-`prefix#n`-shaped keys always stay explicit.
+    * A floor f means units 0..f of the prefix are all committed; it
+    * advances over ranges that tile contiguously from f+1 (sorted by lo),
+    * so both one-unit batch keys and segment-range keys stay O(window) in
+    * the manifest instead of O(all batches ever).
     */
   private[table] def compactLedger(floors: Map[String, Long],
       ledger: Map[String, Long]): (Map[String, Long], Map[String, Long]) = {
-    val numbered = ledger.keys.collect { case k @ NumberedKey(p, n) => (p, n.toLong, k) }
-    val byPrefix = numbered.groupBy(_._1)
+    val ranged = ledger.keys.flatMap(keyRange)
+    val byPrefix = ranged.groupBy(_._1)
     val newFloors = floors ++ byPrefix.map { case (prefix, ks) =>
-      val present = ks.map(_._2).toSet
+      val byLo = ks.toSeq.sortBy(_._2)
       var floor = floors.getOrElse(prefix, -1L)
-      while (present(floor + 1)) floor += 1
+      byLo.foreach { case (_, lo, hi) =>
+        if (lo <= floor + 1 && hi > floor) floor = hi
+      }
       prefix -> floor
     }.filter(_._2 >= 0)
-    val window = ledger.filter {
-      case (NumberedKey(p, n), _) => newFloors.getOrElse(p, -1L) < n.toLong
-      case _ => true
+    val window = ledger.filter { case (k, _) =>
+      keyRange(k) match {
+        case Some((p, _, hi)) => newFloors.getOrElse(p, -1L) < hi
+        case None => true
+      }
     }
     (newFloors, window)
   }

@@ -117,6 +117,40 @@ class PipelineRoutingSpec extends SparkSpec {
     }
   }
 
+  test("aliased multi-sink route labels rows losslessly (merge keys untouched)") {
+    import graft.cdc.MultiSinkPipeline
+    import graft.routing.RouteConfig
+    val cfg = BinlogConfig(numEvents = 600, numConversations = 8, segmentSize = 200)
+    val src = tmpDir("binlog-alias")
+    val tbl = tmpDir("table-alias")
+    BinlogGenerator.writeSegments(spark, cfg, src)
+    val routes = Seq(
+      RouteConfig("users", Some("""xpath("role") = "user""""), alias = Some("user-topic")))
+    val p = new MultiSinkPipeline(
+      PipelineConfig(src, tbl, segmentsPerBatch = 2, numBuckets = 4), routes)
+    p.runAll(spark)
+    val users = p.sinkState(spark, "users")
+    // the alias must NOT rewrite the merge key: every conversation that has
+    // user turns survives distinctly (a conv_id rewrite would collapse the
+    // sink to <= maxTurns rows)
+    val convs = users.select("conv_id").distinct().as[String].collect().toSet
+    assert(convs.size > 1, s"conversations collapsed: $convs")
+    // LWW oracle over the role-filtered stream: row count must match exactly
+    val cdf = BinlogGenerator.zipfCdf(cfg.numConversations, cfg.zipfS)
+    val st = scala.collection.mutable.Map[(String, Int), String]()
+    (0L until cfg.numEvents).foreach { lsn =>
+      val ev = BinlogGenerator.eventAt(cfg, cdf, lsn)
+      if (ev.role == "user") {
+        if (ev.op == "D") st.remove((ev.conv_id, ev.turn_idx))
+        else st((ev.conv_id, ev.turn_idx)) = ev.text
+      }
+    }
+    assert(users.count() == st.size)
+    // the alias is carried as a label column on every routed row
+    assert(users.select("route_alias").distinct().as[String].collect().toSeq
+      == Seq("user-topic"))
+  }
+
   test("streaming multi-sink fan-out converges per sink (unordered epochs)") {
     import graft.cdc.MultiSinkPipeline
     import graft.routing.RouteConfig

@@ -105,6 +105,30 @@ class TableOpsSpec extends SparkSpec {
     assert(ChronicleTable.isCommitted(s, "compact#vA"))
   }
 
+  test("ledger floor: segment-range batch keys (multi-sink shape) compact too") {
+    import graft.table._
+    val tbl = new ChronicleTable(tmpDir("table-ledger-range"))
+    def pc(key: String) = PendingCommit(key, Nil, Nil, None,
+      LineageEntry(key, "t", -1, -1, 0, 0, 0, 0L, Map.empty, -1L))
+    var s = tbl.create(graft.model.Model.physicalSchemaV1, 1)
+    s = tbl.commit(s, pc("r#0-3"))
+    s = tbl.commit(s, pc("r#4-7")) // contiguous -> floor advances to 7
+    assert(s.floors == Map("r" -> 7L))
+    assert(!s.committedBatches.keySet.exists(_.startsWith("r#")))
+    // a gap (segments 8-11 missing) keeps the later range explicit
+    s = tbl.commit(s, pc("r#12-15"))
+    assert(s.floors == Map("r" -> 7L))
+    assert(s.committedBatches.keySet.filter(_.startsWith("r#")) == Set("r#12-15"))
+    // the gap closes -> floor jumps over both, window drains
+    s = tbl.commit(s, pc("r#8-11"))
+    assert(s.floors == Map("r" -> 15L))
+    assert(!s.committedBatches.keySet.exists(_.startsWith("r#")))
+    Seq("r#0-3", "r#4-7", "r#8-11", "r#12-15").foreach(k =>
+      assert(ChronicleTable.isCommitted(s, k), k))
+    assert(!ChronicleTable.isCommitted(s, "r#16-19"))
+    intercept[IllegalArgumentException] { tbl.commit(s, pc("r#4-7")) }
+  }
+
   test("200-commit replay: manifest size stays O(live files), not O(history)") {
     import graft.table._
     val root = tmpDir("table-bounded")
