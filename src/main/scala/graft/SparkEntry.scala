@@ -404,10 +404,12 @@ object SparkEntry {
          |  FROM x, (SELECT unnest(range(0, 12)) AS p) GROUP BY vec_id, p),
          |bk AS (SELECT vec_id,
          |    sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
-         |  FROM proj GROUP BY vec_id)
+         |  FROM proj GROUP BY vec_id),
+         |bkc AS (SELECT bk.* FROM bk
+         |  JOIN (SELECT bucket FROM bk GROUP BY bucket HAVING count(*) <= 64) s USING (bucket))
          |SELECT l.vec_id AS a, r.vec_id AS b,
          |  list_sum([el.q[i] * er.q[i] for i in range(1, len(el.q) + 1)])::BIGINT AS dot_q
-         |FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+         |FROM bkc l JOIN bkc r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
          |JOIN e el ON el.vec_id = l.vec_id JOIN e er ON er.vec_id = r.vec_id
          |WHERE list_sum([el.q[i] * er.q[i] for i in range(1, len(el.q) + 1)]) >= 200000
          |ORDER BY a, b""".stripMargin,
@@ -421,12 +423,14 @@ object SparkEntry {
          |bk AS (SELECT vec_id,
          |    sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
          |  FROM proj GROUP BY vec_id),
+         |bkc AS (SELECT bk.* FROM bk
+         |  JOIN (SELECT bucket FROM bk GROUP BY bucket HAVING count(*) <= 64) s USING (bucket)),
          |qs AS (SELECT vec_id AS query_id, bucket FROM bk WHERE vec_id < 8),
          |probes AS (SELECT query_id,
          |    unnest(list_prepend(bucket, [xor(bucket, 1::BIGINT << p) for p in range(0, 12)])) AS probe
          |  FROM qs),
          |cand AS (SELECT query_id, b.vec_id AS neighbor_id
-         |  FROM probes pr JOIN bk b ON b.bucket = pr.probe
+         |  FROM probes pr JOIN bkc b ON b.bucket = pr.probe
          |  WHERE b.vec_id <> pr.query_id),
          |s AS (SELECT query_id, neighbor_id,
          |    list_sum([eq.q[i] * en.q[i] for i in range(1, len(eq.q) + 1)])::BIGINT AS dot_q
@@ -456,9 +460,11 @@ object SparkEntry {
          |bk AS (SELECT vec_id,
          |    sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
          |  FROM proj GROUP BY vec_id),
+         |bkc AS (SELECT bk.* FROM bk
+         |  JOIN (SELECT bucket FROM bk GROUP BY bucket HAVING count(*) <= 64) s USING (bucket)),
          |pairs AS (SELECT l.vec_id AS a, r.vec_id AS b,
          |    list_sum([el.q[i] * er.q[i] for i in range(1, len(el.q) + 1)])::BIGINT AS dot_q
-         |  FROM bk l JOIN bk r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+         |  FROM bkc l JOIN bkc r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
          |  JOIN e el ON el.vec_id = l.vec_id JOIN e er ON er.vec_id = r.vec_id)
          |SELECT a, b, dot_q // 100 AS cos_e4 FROM pairs
          |WHERE dot_q >= 250000 ORDER BY a, b""".stripMargin,

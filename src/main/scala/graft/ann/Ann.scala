@@ -25,9 +25,54 @@ object Ann {
   def quantized(c: Column): Column =
     transform(c, x => round(x.cast("double") * 1000).cast("long"))
 
-  /** Exact integer inner product of two quantized vectors. */
+  /** Exact integer inner product of two quantized vectors. Array
+    * higher-order functions are INTERPRETED (measured ~3x slower than the
+    * posexplode + hash-aggregate equivalent) — kept only as the readable
+    * scalar form; every candidate-path caller scores through
+    * [[scorePairs]] instead.
+    */
   def dotQ(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, z) => acc + z)
+
+  /** Bucket-size cap for LSH candidate generation (the stop-bucket analog
+    * of [[graft.dedup.DocDedup.maxShingleDf]]): candidate pairs are
+    * generated all-pairs WITHIN a bucket, so one degenerate bucket (near-
+    * zero vectors, or any skewed region hashing to one signature) would
+    * put |B|^2 pairs on a single reducer. Buckets above the cap generate
+    * no candidates. Mirrored exactly in the oracle SQL.
+    */
+  val maxBucketSize = 64
+
+  /** Drop members of over-cap buckets. A count window over the bucket
+    * partition, NOT a separate size-aggregate + anti-join: the window rides
+    * the one shuffle-by-bucket the candidate join needs anyway, where a
+    * second aggregate would re-evaluate the whole bucket pipeline (no
+    * cache pins executor memory behind a long-lived session, so repeated
+    * sub-plans are re-executed unless the plan shape avoids them).
+    */
+  private def dropHotBuckets(b: DataFrame, cap: Int): DataFrame =
+    b.withColumn("__bsz",
+        count(lit(1)).over(Window.partitionBy("bucket")))
+      .filter(col("__bsz") <= cap)
+      .drop("__bsz")
+
+  /** Exact quantized inner product for a set of candidate (a, b) pairs via
+    * posexplode + hash aggregate — every operator stays inside whole-stage
+    * codegen, unlike a per-pair `dotQ` (interpreted higher-order function,
+    * measured ~3x slower on the brute-force path and fixed there first).
+    * `e` must be (vec_id, q); output (a, b, dot_q).
+    */
+  private def scorePairs(e: DataFrame, pairs: DataFrame): DataFrame = {
+    val flat = e.select(col("vec_id"), posexplode(col("q")))
+      .withColumnRenamed("pos", "j").withColumnRenamed("col", "x")
+    pairs
+      .join(flat.select(col("vec_id").as("a"), col("j"), col("x").as("xa")),
+        Seq("a"))
+      .join(flat.select(col("vec_id").as("b"), col("j"), col("x").as("xb")),
+        Seq("b", "j"))
+      .groupBy("a", "b")
+      .agg(sum(col("xa") * col("xb")).as("dot_q"))
+  }
 
   /** Brute-force top-k by inner product: query set = vec_id < numQueries,
     * broadcast against the full table (the baseline every ANN variant is
@@ -69,17 +114,24 @@ object Ann {
   def lshBuckets(spark: SparkSession, dir: String): DataFrame =
     lshBucketsOver(embeddings(spark, dir)).orderBy("vec_id")
 
-  def lshBucketsOver(emb: DataFrame): DataFrame =
+  def lshBucketsOver(emb: DataFrame): DataFrame = {
+    // ONE aggregation pass with numPlanes codegen'd sum columns instead of
+    // a xnumPlanes row explosion and a second shuffle (the simhash
+    // 32-column trick, DocDedup.simhash): per (vec_id, j, x) row all 12
+    // plane contributions are plain aggregate columns, so the shuffle is
+    // N x dim rows once — and map-side partial aggregation reduces it to
+    // one row per vector per partition before it ships.
+    val projSums = (0 until numPlanes).map(p =>
+      sum(planeWeight(lit(p), col("j")) * col("x")).as(s"proj$p"))
+    val bucketBits = (0 until numPlanes).map(p =>
+      when(col(s"proj$p") > 0, lit(1L << p)).otherwise(0L))
     emb
       .select(col("vec_id"), posexplode(quantized(col("embedding"))))
       .withColumnRenamed("pos", "j").withColumnRenamed("col", "x")
-      .select(col("vec_id"), col("j"), col("x"),
-        explode(sequence(lit(0), lit(numPlanes - 1))).as("p"))
-      .groupBy("vec_id", "p")
-      .agg(sum(planeWeight(col("p"), col("j")) * col("x")).as("proj"))
       .groupBy("vec_id")
-      .agg(sum(when(col("proj") > 0, expr("shiftleft(1L, cast(p as int))"))
-        .otherwise(0L)).as("bucket"))
+      .agg(projSums.head, projSums.tail: _*)
+      .select(col("vec_id"), bucketBits.reduce(_ + _).as("bucket"))
+  }
 
   /** SQL fragment listing a query's probe buckets: its own bucket plus all
     * buckets within Hamming distance `radius` (1 -> numPlanes+1 probes,
@@ -118,20 +170,24 @@ object Ann {
       probeRadius: Int): DataFrame = {
     val e = emb.select(col("vec_id"), quantized(col("embedding")).as("q"))
     val b = lshBucketsOver(emb) // (vec_id, bucket)
-    val data = e.join(b, "vec_id")
-    val probes = data.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("query_id"), col("q").as("qv"), col("bucket"))
+    val probes = b.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("bucket"))
       .withColumn("probe", explode(expr(probeExpr(probeRadius))))
       .drop("bucket")
     // each neighbor lives in exactly one bucket and probe buckets are
-    // distinct, so the join cannot duplicate a candidate
+    // distinct, so the join cannot duplicate a candidate; over-cap buckets
+    // contribute no candidates (stop-bucket skew bound — a hot bucket
+    // would otherwise fan every probing query out by |B|)
     val cand = probes.join(
-      data.select(col("vec_id").as("neighbor_id"), col("q"),
-        col("bucket").as("nb")),
+      dropHotBuckets(b, maxBucketSize)
+        .select(col("vec_id").as("neighbor_id"), col("bucket").as("nb")),
       col("probe") === col("nb"))
       .filter(col("neighbor_id") =!= col("query_id"))
-    val scored = cand.select(col("query_id"), col("neighbor_id"),
-      dotQ(col("qv"), col("q")).as("dot_q"))
+      .select("query_id", "neighbor_id")
+    val scored = scorePairs(e,
+      cand.withColumnRenamed("query_id", "a")
+        .withColumnRenamed("neighbor_id", "b"))
+      .select(col("a").as("query_id"), col("b").as("neighbor_id"), col("dot_q"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("dot_q").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -155,14 +211,17 @@ object Ann {
       .orderBy("a", "b")
 
   def lshCandidatePairs(spark: SparkSession, dir: String,
-      minDotQ: Long = 200000L): DataFrame = {
-    val e = embeddings(spark, dir).select(col("vec_id"), quantized(col("embedding")).as("q"))
-    val b = lshBuckets(spark, dir)
-    val withB = e.join(b, "vec_id")
-    val l = withB.select(col("vec_id").as("a"), col("q").as("qa"), col("bucket"))
-    val r = withB.select(col("vec_id").as("b"), col("q").as("qb"), col("bucket"))
-    l.join(r, Seq("bucket")).filter(col("a") < col("b"))
-      .select(col("a"), col("b"), dotQ(col("qa"), col("qb")).as("dot_q"))
+      minDotQ: Long = 200000L): DataFrame =
+    lshCandidatePairsOver(embeddings(spark, dir), minDotQ)
+
+  def lshCandidatePairsOver(emb: DataFrame, minDotQ: Long): DataFrame = {
+    val e = emb.select(col("vec_id"), quantized(col("embedding")).as("q"))
+    val capped = dropHotBuckets(lshBucketsOver(emb), maxBucketSize)
+    val pairs = capped.select(col("vec_id").as("a"), col("bucket"))
+      .join(capped.select(col("vec_id").as("b"), col("bucket")), Seq("bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+    scorePairs(e, pairs)
       .filter(col("dot_q") >= minDotQ)
       .orderBy("a", "b")
   }

@@ -144,6 +144,35 @@ class DocDedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"multi-probe recall $recall ($hits/$nQ) below 0.9")
   }
 
+  test("ANN: a degenerate hot bucket is capped — candidate count stays bounded") {
+    // 100 identical vectors (one bucket, far over maxBucketSize=64) would
+    // produce 4950 all-pairs candidates on one reducer without the
+    // stop-bucket cap; with it they produce NONE, while a normal near-dup
+    // pair in a small bucket still surfaces.
+    val rnd = new scala.util.Random(23)
+    def unit(v: Array[Double]): Seq[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat).toSeq
+    }
+    val near = Array.fill(64)(rnd.nextGaussian())
+    val nearTwin = near.map(x => x + 0.01 * rnd.nextGaussian())
+    val hot = unit(Array.fill(64)(rnd.nextGaussian()))
+    val rows =
+      Seq((0L, unit(near), 0), (1L, unit(nearTwin), 0)) ++
+        (0 until 10).map(i => (2L + i, unit(Array.fill(64)(rnd.nextGaussian())), 1)) ++
+        (0 until 100).map(i => (100L + i, hot, 2)) // the degenerate bucket
+    val d = tmpDir("ann-hotbucket")
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val emb = spark.read.parquet(s"$d/embeddings.parquet")
+    val pairs = Ann.lshCandidatePairsOver(emb, minDotQ = 900000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 1L)), s"near-dup pair lost: ${pairs.toSeq}")
+    assert(!pairs.exists(p => p._1 >= 100L || p._2 >= 100L),
+      s"hot-bucket pairs leaked: ${pairs.count(p => p._1 >= 100L)}")
+    assert(pairs.length < 64, s"candidate blow-up: ${pairs.length} pairs")
+  }
+
   test("multimodal: batched stub decoder output equals per-row stub over the binary payload") {
     val feats = Multimodal.decodeFeatures(spark, dir).collect()
     val raw = Multimodal.mediaTable(spark, dir).collect()
