@@ -62,7 +62,7 @@ object RunCdc {
       val sec = (System.nanoTime() - t0) / 1e9
       val snap = p.table.loadCurrent()
       println(f"applied $n batches in $sec%.1fs; snapshot v${snap.version} " +
-        f"rows=${snap.totalRows} hwm=${snap.hwmLsn} files=${snap.files.size}")
+        f"rows=${snap.totalRows} hwm=${snap.hwmLsn} files=${snap.numFiles}")
 
     case "stream" =>
       val p = new CdcPipeline(PipelineConfig(args(1), args(2)))
@@ -91,12 +91,15 @@ object RunCdc {
     case "stats" =>
       val table = new graft.table.ChronicleTable(args(1))
       val s = table.loadCurrent()
-      println(s"version=${s.version} rows=${s.totalRows} files=${s.files.size} " +
-        s"hwmLsn=${s.hwmLsn} batches=${s.committedBatches.size} " +
+      println(s"version=${s.version} rows=${s.totalRows} files=${s.numFiles} " +
+        s"manifests=${s.manifestList.size} hwmLsn=${s.hwmLsn} " +
+        s"batches=${s.committedBatches.size} " +
         s"schema=${s.schema.fieldNames.mkString(",")}")
-      s.files.groupBy(_.bucket).toSeq.sortBy(_._1).foreach { case (b, fs) =>
-        println(f"  bucket=$b%-4d files=${fs.size}%-4d rows=${fs.map(_.rows).sum}%-8d " +
-          s"keys=[${fs.map(_.minKey).min} .. ${fs.map(_.maxKey).max}]")
+      // the per-bucket report comes straight off the manifest LIST — no
+      // bucket manifest is opened (metadata-only, O(buckets))
+      s.manifestList.sortBy(_.bucket).foreach { m =>
+        println(f"  bucket=${m.bucket}%-4d files=${m.numFiles}%-4d rows=${m.rows}%-8d " +
+          s"keys=[${m.minKey} .. ${m.maxKey}]")
       }
 
     // expire <tableRoot> [keepLast]: snapshot retention (Iceberg's

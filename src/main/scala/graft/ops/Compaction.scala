@@ -33,7 +33,7 @@ object Compaction {
       maxFilesPerBucket: Int = 4,
       tombstoneHorizonLsn: Long = Long.MinValue): CompactionResult = {
     val base = table.loadCurrent()
-    val byBucket = base.files.groupBy(_.bucket)
+    val byBucket = table.filesOf(base).groupBy(_.bucket)
     val targets = byBucket.filter(_._2.size > maxFilesPerBucket)
     if (targets.isEmpty)
       return CompactionResult(base, 0, 0, 0, 0)

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 import java.util.UUID
 import scala.jdk.CollectionConverters._
 
@@ -33,6 +33,33 @@ case class DataFileMeta(
     minTsMs: Long = 0L,
     maxTsMs: Long = 0L)
 
+/** Summary of one per-bucket manifest file in the snapshot's manifest LIST:
+  * enough metadata (bucket, aggregate key/time bounds, counts) to prune the
+  * whole bucket without opening its manifest. The snapshot JSON holds only
+  * these summaries, so per-commit metadata IO is O(touched buckets), not
+  * O(all live files) — the front-index-not-history discipline of the
+  * reference's persisted queue (FileBlockingQueue.java:143-150), applied to
+  * the file inventory (Iceberg's manifest-list layout).
+  */
+case class ManifestMeta(
+    path: String,
+    bucket: Int,
+    numFiles: Int,
+    rows: Long,
+    minKey: String,
+    maxKey: String,
+    /** (0, 0) when ANY member file lacks ts stats — the bucket is then
+      * conservatively kept by time pruning.
+      */
+    minTsMs: Long,
+    maxTsMs: Long)
+
+/** On-disk content of one per-bucket manifest file. Manifest files are
+  * immutable and uuid-named: a commit writes NEW manifests for the buckets
+  * it touched and carries every other bucket's manifest by reference.
+  */
+case class BucketManifest(bucket: Int, files: Seq[DataFileMeta])
+
 /** Per-commit lineage: the Spark-native version of the reference's upload
   * notice JSON `{bucket, filePath, size, collector}` plus CRC
   * (suro-s3/.../S3FileSink.java:144-154; MessageSetBuilder.java:132-136).
@@ -57,7 +84,12 @@ case class Snapshot(
     version: Long,
     schemaJson: String,
     numBuckets: Int,
-    files: Seq[DataFileMeta],
+    /** Manifest list: one summary per live per-bucket manifest file. The
+      * full file inventory is the concatenation of the referenced bucket
+      * manifests ([[ChronicleTable.filesOf]]); embedding it here would make
+      * every commit rewrite O(all files) of metadata.
+      */
+    manifests: Seq[ManifestMeta],
     /** batchKey -> version that committed it; the idempotent-commit ledger
       * (the reference's `processingFileSet` upload dedup,
       * RemoteFileSink.java:159-216, made durable). BOUNDED: keys of the form
@@ -92,7 +124,10 @@ case class Snapshot(
       */
     lineage: Seq[LineageEntry]) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-  def totalRows: Long = files.map(_.rows).sum
+  def totalRows: Long = manifestList.map(_.rows).sum
+  def numFiles: Int = manifestList.map(_.numFiles).sum
+  /** Null-safe manifests view (old manifests may lack the field). */
+  def manifestList: Seq[ManifestMeta] = Option(manifests).getOrElse(Nil)
   /** Null-safe cursor view (manifests written before the field existed
     * deserialize it as null; Jackson also erases Long map values to Integer
     * for small numbers, so coerce through Number).
@@ -126,16 +161,23 @@ case class PendingCommit(
   * Layout:
   * {{{
   *   <root>/data/<uuid>/bucket=N/part-*.parquet   immutable data files
-  *   <root>/meta/v%09d.json                       snapshot manifests
+  *   <root>/meta/manifests/m-<bucket>-<uuid>.json immutable per-bucket manifests
+  *   <root>/meta/v%09d.json                       snapshot manifest LISTS
   *   <root>/meta/_CURRENT                         pointer file: "v%09d"
   * }}}
   *
   * Commit protocol (two-phase, mirrors the reference's
   * rotate -> .done -> notice -> upload -> dedup pipeline, SURVEY.md §2.5):
-  *  1. data files are fully written under data/ (the "stage" phase; a crash
-  *     here leaves orphans that no manifest references — harmless, GC-able);
-  *  2. the new manifest v(N+1).json is created with CREATE_NEW (fails if a
-  *     concurrent writer won the version — optimistic concurrency);
+  *  1. data files are fully written under data/, and NEW per-bucket manifest
+  *     files for exactly the buckets the commit touches are written under
+  *     meta/manifests/ (the "stage" phase; a crash here leaves orphans that
+  *     nothing references — harmless, GC-able);
+  *  2. the new manifest list v(N+1).json is created with CREATE_NEW — the
+  *     optimistic-concurrency barrier. On conflict the commit RELOADS the
+  *     winner and REBASES: if its removed-file set is still live there (the
+  *     writers touched disjoint buckets — e.g. compaction racing a merge),
+  *     fresh bucket manifests are written against the new base and the
+  *     commit retries; if not, it aborts with a conflict error.
   *  3. _CURRENT is flipped via write-temp + atomic rename. A crash between
   *     (2) and (3) is healed on next load: loadCurrent() takes the highest
   *     manifest version present, not the pointer, when the pointer lags.
@@ -147,16 +189,17 @@ case class PendingCommit(
   * S3Consumer.java:226-290, with the cursor and the data made atomic by
   * sharing one ledger).
   *
-  * Scale notes (100 TB): manifests list files with per-file key bounds, so
-  * MERGE planning is metadata-only; at production scale the JSON manifest
-  * becomes a manifest *list* + per-bucket manifest files (same schema,
-  * split), and file stats come from parquet footers instead of a stats
-  * pass — both are mechanical extensions of this layout.
+  * Scale notes (100 TB): the snapshot JSON is a manifest LIST (per-bucket
+  * summaries only), so per-commit metadata IO is O(touched buckets);
+  * MERGE planning prunes at the list level first and opens only surviving
+  * buckets' manifests; file stats come from parquet footers via a
+  * distributed job (MergeInto.collectStats).
   */
 class ChronicleTable(val root: String) {
   import ChronicleTable._
 
   private val metaDir: Path = Paths.get(root, "meta")
+  private val manifestsDir: Path = metaDir.resolve("manifests")
   private val dataDir: Path = Paths.get(root, "data")
 
   def exists: Boolean = Files.exists(metaDir) && listVersions.nonEmpty
@@ -164,12 +207,13 @@ class ChronicleTable(val root: String) {
   /** Create an empty table with the given initial schema. */
   def create(schema: StructType, numBuckets: Int): Snapshot = {
     Files.createDirectories(metaDir)
+    Files.createDirectories(manifestsDir)
     Files.createDirectories(dataDir)
     val s0 = Snapshot(version = 0L, schemaJson = schema.json,
-      numBuckets = numBuckets, files = Nil, committedBatches = Map.empty,
+      numBuckets = numBuckets, manifests = Nil, committedBatches = Map.empty,
       ledgerFloors = Map.empty, hwmLsn = -1L, sourceCursors = Map.empty,
       lineage = Nil)
-    writeManifest(s0)
+    writeSnapshotJson(s0)
     flipPointer(0L)
     s0
   }
@@ -217,6 +261,60 @@ class ChronicleTable(val root: String) {
   def newStagingDir(): String =
     dataDir.resolve(UUID.randomUUID().toString).toString
 
+  // ------------------------------------------------------------------
+  // per-bucket manifest files
+  // ------------------------------------------------------------------
+
+  /** Bounded LRU of immutable manifest-file contents (path -> files): a
+    * steady-state writer re-reads only the manifests of buckets it touches,
+    * and those are hot here — commit metadata reads then cost O(touched
+    * buckets) without trusting the filesystem cache.
+    */
+  private val manifestCache =
+    new java.util.LinkedHashMap[String, Seq[DataFileMeta]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Seq[DataFileMeta]]): Boolean =
+        size() > 1024
+    }
+
+  /** The file list of one per-bucket manifest (cached; manifest files are
+    * immutable, so the cache can never go stale).
+    */
+  def loadManifest(path: String): Seq[DataFileMeta] = {
+    manifestCache.synchronized {
+      val hit = manifestCache.get(path)
+      if (hit != null) return hit
+    }
+    val loaded = mapper
+      .readValue(Files.readString(Paths.get(path)), classOf[BucketManifest])
+      .files
+    manifestCache.synchronized(manifestCache.put(path, loaded))
+    loaded
+  }
+
+  /** The complete file inventory of a snapshot (opens every bucket
+    * manifest — full-scan planning; MERGE planning uses [[pruneFiles]]
+    * which opens only the touched buckets').
+    */
+  def filesOf(snapshot: Snapshot): Seq[DataFileMeta] =
+    snapshot.manifestList.flatMap(m => loadManifest(m.path))
+
+  /** Write a new immutable per-bucket manifest file; returns its summary. */
+  private def writeBucketManifest(bucket: Int, files: Seq[DataFileMeta]): ManifestMeta = {
+    require(files.nonEmpty, s"empty bucket manifest for bucket $bucket")
+    if (!Files.exists(manifestsDir)) Files.createDirectories(manifestsDir)
+    val p = manifestsDir.resolve(s"m-$bucket-${UUID.randomUUID()}.json").toString
+    Files.write(Paths.get(p),
+      mapper.writeValueAsBytes(BucketManifest(bucket, files)),
+      StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+    manifestCache.synchronized(manifestCache.put(p, files))
+    val statless = files.exists(f => f.minTsMs == 0L && f.maxTsMs == 0L)
+    ManifestMeta(p, bucket, files.size, files.map(_.rows).sum,
+      files.map(_.minKey).min, files.map(_.maxKey).max,
+      if (statless) 0L else files.map(_.minTsMs).min,
+      if (statless) 0L else files.map(_.maxTsMs).max)
+  }
+
   /** Test hook: invoked after data files are durable but before the snapshot
     * pointer advances — the crash window the kill-resume fixture targets
     * (FIXTURES.md §4; the reference's S3Consumer crash-before-notice-remove,
@@ -224,21 +322,77 @@ class ChronicleTable(val root: String) {
     */
   @volatile var beforePublishHook: Snapshot => Unit = _ => ()
 
+  /** How many times a conflicted commit reloads and rebases before giving
+    * up (each retry implies a concurrent writer made progress, so this
+    * never livelocks — someone always wins).
+    */
+  @volatile var maxCommitRetries: Int = 5
+
   /** Atomically publish a commit on top of `base`. Returns the new snapshot.
-    * Throws if the version was taken by a concurrent writer (caller may
-    * reload and retry).
+    *
+    * Concurrency: losing the CREATE_NEW version race triggers an automatic
+    * reload-and-rebase — valid whenever the commit's removed files are all
+    * still live in the winner's snapshot (disjoint-bucket writers, e.g.
+    * compaction racing a streaming merge, both land). A conflict on the
+    * same files (or a concurrently-committed batchKey) aborts with a clear
+    * error. The reference runs sinks and maintenance concurrently as a
+    * matter of course (SinkManager.java:57-91).
     */
   def commit(base: Snapshot, pending: PendingCommit): Snapshot = {
-    require(!ChronicleTable.isCommitted(base, pending.batchKey),
-      s"batch ${pending.batchKey} already committed — caller must skip")
+    var attempt = base
+    var tries = 0
+    while (true) {
+      require(!ChronicleTable.isCommitted(attempt, pending.batchKey),
+        s"batch ${pending.batchKey} already committed — caller must skip")
+      val next = buildNext(attempt, pending)
+      beforePublishHook(next)
+      try {
+        writeSnapshotJson(next) // CREATE_NEW: optimistic-concurrency barrier
+        flipPointer(next.version)
+        return next
+      } catch {
+        case e: FileAlreadyExistsException =>
+          tries += 1
+          if (tries > maxCommitRetries)
+            throw new IllegalStateException(
+              s"commit of ${pending.batchKey} lost the version race " +
+                s"$tries times — giving up", e)
+          attempt = loadCurrent() // rebase onto the winner and revalidate
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Build the successor snapshot: rewrite ONLY the manifests of buckets
+    * the commit touches, carry the rest by reference. Throws if a removed
+    * file is no longer live in `base` (un-rebasable conflict).
+    */
+  private def buildNext(base: Snapshot, pending: PendingCommit): Snapshot = {
     val removed = pending.removedFiles.toSet
+    val touched = pending.removedFiles.map(bucketOfPath).toSet ++
+      pending.addedFiles.map(_.bucket)
+    val byBucket = base.manifestList.map(m => m.bucket -> m).toMap
+    val addsByBucket = pending.addedFiles.groupBy(_.bucket)
+    val newEntries = touched.toSeq.sorted.flatMap { b =>
+      val old = byBucket.get(b).map(m => loadManifest(m.path)).getOrElse(Nil)
+      val live = old.map(_.path).toSet
+      val gone = removed.filter(r => bucketOfPath(r) == b && !live(r))
+      if (gone.nonEmpty)
+        throw new IllegalStateException(
+          s"commit conflict for ${pending.batchKey}: removed files no longer " +
+            s"live in bucket $b (concurrent writer rewrote them): " +
+            gone.take(3).mkString(","))
+      val files = old.filterNot(f => removed(f.path)) ++
+        addsByBucket.getOrElse(b, Nil)
+      if (files.isEmpty) None else Some(writeBucketManifest(b, files))
+    }
     val (floors, window) = ChronicleTable.compactLedger(base.floors,
       base.committedBatches + (pending.batchKey -> (base.version + 1)))
-    val next = Snapshot(
+    Snapshot(
       version = base.version + 1,
       schemaJson = pending.newSchema.map(_.json).getOrElse(base.schemaJson),
       numBuckets = base.numBuckets,
-      files = base.files.filterNot(f => removed(f.path)) ++ pending.addedFiles,
+      manifests = base.manifestList.filterNot(m => touched(m.bucket)) ++ newEntries,
       committedBatches = window,
       ledgerFloors = floors,
       hwmLsn = math.max(base.hwmLsn, pending.lineage.endLsn),
@@ -246,20 +400,17 @@ class ChronicleTable(val root: String) {
         src -> math.max(seg, base.cursors.getOrElse(src, -1L))
       },
       lineage = Seq(pending.lineage.copy(snapshotVersion = base.version + 1)))
-    beforePublishHook(next)
-    writeManifest(next) // CREATE_NEW: optimistic-concurrency barrier
-    flipPointer(next.version)
-    next
   }
 
-  /** Expire all but the newest `keepLast` snapshots: their manifests are
-    * deleted, and any data file referenced ONLY by expired versions is
-    * deleted from disk. COW + time travel otherwise pins every rewritten
-    * generation of every bucket forever — at 10^10 events a replay would
-    * retain ~every file ever written. The reference deletes local files
-    * aggressively after upload (RemoteFileSink.java:151-216) and caps the
-    * disk queue (FileBlockingQueue.java:83-150); this is the table-format
-    * equivalent (Iceberg's expire_snapshots).
+  /** Expire all but the newest `keepLast` snapshots: their snapshot JSONs
+    * are deleted, and any bucket-manifest or data file referenced ONLY by
+    * expired versions is deleted from disk. COW + time travel otherwise
+    * pins every rewritten generation of every bucket forever — at 10^10
+    * events a replay would retain ~every file ever written. The reference
+    * deletes local files aggressively after upload
+    * (RemoteFileSink.java:151-216) and caps the disk queue
+    * (FileBlockingQueue.java:83-150); this is the table-format equivalent
+    * (Iceberg's expire_snapshots).
     *
     * Returns (expired versions, deleted data files). Time-travel reads of
     * expired versions fail with a clear error afterwards.
@@ -269,20 +420,24 @@ class ChronicleTable(val root: String) {
     val vs = listVersions
     val expired = vs.dropRight(keepLast)
     if (expired.isEmpty) return (Nil, Nil)
-    val retained = vs.takeRight(keepLast)
-    val live: Set[String] =
-      retained.flatMap(v => loadVersion(v).files.map(_.path)).toSet
-    val dead = expired.flatMap(v => loadVersion(v).files.map(_.path))
-      .distinct.filterNot(live)
-    // delete manifests first: a crash mid-way leaves only unreferenced data
-    // files, which gcOrphans reclaims — never a manifest pointing at
-    // deleted data
+    val retained = vs.takeRight(keepLast).map(loadVersion)
+    val liveManifests = retained.flatMap(_.manifestList.map(_.path)).toSet
+    val liveData = retained.flatMap(s => filesOf(s).map(_.path)).toSet
+    val expiredSnaps = expired.map(loadVersion)
+    val deadManifests = expiredSnaps.flatMap(_.manifestList.map(_.path))
+      .distinct.filterNot(liveManifests)
+    val deadData = expiredSnaps.flatMap(s => filesOf(s).map(_.path))
+      .distinct.filterNot(liveData)
+    // delete snapshot JSONs first: a crash mid-way leaves only unreferenced
+    // manifest/data files, which gcOrphans reclaims — never a snapshot
+    // pointing at deleted files
     expired.foreach(v => Files.deleteIfExists(metaDir.resolve(f"v$v%09d.json")))
-    dead.foreach(p => Files.deleteIfExists(Paths.get(p)))
-    (expired, dead)
+    deadManifests.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    deadData.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    (expired, deadData)
   }
 
-  private def writeManifest(s: Snapshot): Unit = {
+  private def writeSnapshotJson(s: Snapshot): Unit = {
     val p = metaDir.resolve(f"v${s.version}%09d.json")
     Files.write(p, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(s),
       StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
@@ -303,34 +458,48 @@ class ChronicleTable(val root: String) {
     */
   def read(spark: SparkSession, snapshot: Snapshot): DataFrame = {
     val schema = snapshot.schema
-    if (snapshot.files.isEmpty) {
+    val files = filesOf(snapshot)
+    if (files.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else {
-      spark.read.schema(schema).parquet(snapshot.files.map(_.path): _*)
+      spark.read.schema(schema).parquet(files.map(_.path): _*)
     }
   }
 
   def read(spark: SparkSession): DataFrame = read(spark, loadCurrent())
 
   /** Files whose bucket is in `buckets` and whose conv_id range intersects
-    * [minKey, maxKey] — the metadata-only MERGE planning step.
+    * [minKey, maxKey] — the metadata-only MERGE planning step. Prunes at
+    * the manifest LIST first (bucket + aggregate key range), then opens
+    * ONLY the surviving buckets' manifests: planning IO is O(touched
+    * buckets), independent of table size.
     */
   def pruneFiles(snapshot: Snapshot, buckets: Set[Int],
       minKey: String, maxKey: String): Seq[DataFileMeta] =
-    snapshot.files.filter(f =>
-      buckets.contains(f.bucket) && f.minKey <= maxKey && f.maxKey >= minKey)
+    snapshot.manifestList
+      .filter(m => buckets.contains(m.bucket) &&
+        m.minKey <= maxKey && m.maxKey >= minKey)
+      .flatMap(m => loadManifest(m.path))
+      .filter(f =>
+        buckets.contains(f.bucket) && f.minKey <= maxKey && f.maxKey >= minKey)
 
   /** Files whose event-time range intersects [fromMs, toMs] (epoch millis,
-    * inclusive). Files without ts stats — written before the stats existed,
-    * marked (0,0) — are conservatively kept. The second-level partition
-    * pruning of the table: the Spark-native analogue of the reference's
-    * date-suffixed sink partitioning (IndexSuffixFormatter.java:27-41;
-    * S3 `date(yyyyMMdd)` prefixes, DynamicRemotePrefixFormatter.java:16-50).
+    * inclusive), pruned first at the manifest list (bucket ts summaries),
+    * then per file. Entries without ts stats — written before the stats
+    * existed, marked (0,0) — are conservatively kept. The second-level
+    * partition pruning of the table: the Spark-native analogue of the
+    * reference's date-suffixed sink partitioning
+    * (IndexSuffixFormatter.java:27-41; S3 `date(yyyyMMdd)` prefixes,
+    * DynamicRemotePrefixFormatter.java:16-50).
     */
   def pruneFilesByTime(snapshot: Snapshot, fromMs: Long, toMs: Long): Seq[DataFileMeta] =
-    snapshot.files.filter(f =>
-      (f.minTsMs == 0L && f.maxTsMs == 0L) ||
-        (f.minTsMs <= toMs && f.maxTsMs >= fromMs))
+    snapshot.manifestList
+      .filter(m => tsOverlaps(m.minTsMs, m.maxTsMs, fromMs, toMs))
+      .flatMap(m => loadManifest(m.path))
+      .filter(f => tsOverlaps(f.minTsMs, f.maxTsMs, fromMs, toMs))
+
+  private def tsOverlaps(minTs: Long, maxTs: Long, fromMs: Long, toMs: Long): Boolean =
+    (minTs == 0L && maxTs == 0L) || (minTs <= toMs && maxTs >= fromMs)
 
   /** Time-sliced read: lists/scans ONLY the files whose ts bounds intersect
     * the range (manifest-level pruning — untouched days' files never reach
@@ -355,19 +524,27 @@ class ChronicleTable(val root: String) {
   def fullLineage(): Seq[LineageEntry] =
     listVersions.flatMap(v => loadVersion(v).lineage)
 
-  /** Delete data files no manifest references (crash leftovers from the
-    * stage phase). Returns deleted paths. Mirrors the reference's
+  /** Delete data files and bucket manifests no snapshot references (crash
+    * leftovers from the stage phase, manifests from lost commit races).
+    * Returns deleted data-file paths. Mirrors the reference's
     * LocalFileSink.cleanUp recovery of improperly-closed files
     * (LocalFileSink.java:313-353).
     */
   def gcOrphans(): Seq[String] = {
-    val live: Set[String] =
-      listVersions.flatMap(v => loadVersion(v).files.map(_.path)).toSet
+    val snaps = listVersions.map(loadVersion)
+    val liveManifests = snaps.flatMap(_.manifestList.map(_.path)).toSet
+    val liveData = snaps.flatMap(s => filesOf(s).map(_.path)).toSet
+    val orphanManifests =
+      if (!Files.exists(manifestsDir)) Nil
+      else Files.list(manifestsDir).iterator().asScala
+        .map(_.toString).filter(_.endsWith(".json"))
+        .filterNot(liveManifests).toSeq
+    orphanManifests.foreach(p => Files.deleteIfExists(Paths.get(p)))
     if (!Files.exists(dataDir)) return Nil
     val all = Files.walk(dataDir).iterator().asScala
       .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
       .map(_.toString).toSeq
-    val orphans = all.filterNot(live)
+    val orphans = all.filterNot(liveData)
     orphans.foreach(p => Files.deleteIfExists(Paths.get(p)))
     orphans
   }
@@ -377,6 +554,15 @@ object ChronicleTable {
   private val ManifestName = """v(\d+)\.json""".r
   private val NumberedKey = """(.+)#(\d+)""".r
   private val RangeKey = """(.+)#(\d+)-(\d+)""".r
+  private val BucketDir = """.*/bucket=(\d+)/[^/]+$""".r
+
+  /** Bucket of a data file, from its `bucket=N` partition directory (the
+    * same convention MergeInto.readFooterStats uses when building stats).
+    */
+  private[table] def bucketOfPath(p: String): Int = p match {
+    case BucketDir(b) => b.toInt
+    case _ => -1
+  }
 
   /** The unit range a batch key covers: `p#n` covers [n, n] (one batch
     * index), `p#lo-hi` covers [lo, hi] (a segment range — the

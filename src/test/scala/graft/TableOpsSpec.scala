@@ -26,12 +26,12 @@ class TableOpsSpec extends SparkSpec {
       MergeInto(spark, p.table, batch, s"disjoint#$i", "t")
     }
     val before = p.table.loadCurrent()
-    assert(before.files.size >= 8, s"expected file accumulation, got ${before.files.size}")
+    assert(before.numFiles >= 8, s"expected file accumulation, got ${before.numFiles}")
     val stateBefore = p.currentState(spark).collect().toSeq
 
     val r = Compaction(spark, p.table, maxFilesPerBucket = 2)
     assert(r.compactedBuckets > 0)
-    assert(r.snapshot.files.size < before.files.size)
+    assert(r.snapshot.numFiles < before.numFiles)
     assert(p.currentState(spark).collect().toSeq == stateBefore)
     // time travel to the pre-compaction snapshot still works
     assert(p.table.read(spark, p.table.loadVersion(before.version)).count() ==
@@ -72,7 +72,7 @@ class TableOpsSpec extends SparkSpec {
     BinlogGenerator.writeSegments(spark, cfg, src)
     val p = new CdcPipeline(PipelineConfig(src, tbl, segmentsPerBatch = 2, numBuckets = 16))
     p.runAll(spark)
-    val files = p.table.loadCurrent().files.size
+    val files = p.table.loadCurrent().numFiles
     // single-key batch: must touch at most the files of ONE bucket
     val one = Seq((999999L, "U", "conv-00000001", 0, "user", "patched", None: Option[String],
       new java.sql.Timestamp(0L)))
@@ -148,6 +148,130 @@ class TableOpsSpec extends SparkSpec {
       s"manifest grew: v10=${manifestSize(10L)}B v200=${manifestSize(200L)}B")
   }
 
+  test("split manifests: per-commit metadata is O(touched buckets), untouched buckets carry by reference") {
+    import graft.table._
+    val root = tmpDir("table-split")
+    val tbl = new ChronicleTable(root)
+    val buckets = 8
+    def pc(i: Int) = {
+      val b = i % buckets
+      PendingCommit(s"src#$i", Nil,
+        Seq(DataFileMeta(s"/fake/data/bucket=$b/f$i.parquet", 10L, b,
+          f"conv-$i%04d", f"conv-$i%04d", 1000L, 2000L)),
+        None, LineageEntry(s"src#$i", "t", i, i, 1, 0, 10, 0L, Map.empty, -1L),
+        cursor = Some("src" -> i.toLong))
+    }
+    var s = tbl.create(graft.model.Model.physicalSchemaV1, buckets)
+    val commits = 200
+    (0 until commits).foreach(i => s = tbl.commit(s, pc(i)))
+
+    // the full inventory reconstructs through the manifest list
+    assert(tbl.filesOf(s).size == commits && s.numFiles == commits)
+    assert(s.manifestList.size == buckets)
+    // snapshot JSON (the manifest LIST) stays flat while files grow 20x:
+    // per-commit metadata in the list is O(buckets), not O(files)
+    def snapBytes(v: Long) =
+      java.nio.file.Files.size(java.nio.file.Paths.get(root, "meta", f"v$v%09d.json"))
+    assert(snapBytes(commits.toLong) <= snapBytes(10L) + 128,
+      s"manifest list grew: v10=${snapBytes(10L)}B v$commits=${snapBytes(commits.toLong)}B")
+    // each commit wrote exactly ONE new bucket manifest; the other 7 carry
+    // by reference (same manifest path as the previous version)
+    val prev = tbl.loadVersion(commits - 1L).manifestList.map(m => m.bucket -> m.path).toMap
+    val cur = s.manifestList.map(m => m.bucket -> m.path).toMap
+    assert(cur.count { case (b, p) => prev.get(b).contains(p) } == buckets - 1,
+      "expected exactly one bucket manifest rewritten per commit")
+    // total manifest-file bytes written across the replay is O(commits *
+    // bucket-manifest) = linear, not O(commits * all-files) = quadratic:
+    // the per-commit write is bounded by the touched bucket's own file count
+    val manifestDir = java.nio.file.Paths.get(root, "meta", "manifests")
+    val manifestCount = java.nio.file.Files.list(manifestDir).count()
+    assert(manifestCount <= commits + buckets,
+      s"more manifest files than commits: $manifestCount")
+    // prune planning opens only the touched bucket's manifest
+    val hit = tbl.pruneFiles(s, Set(3), "conv-0003", "conv-0003")
+    assert(hit.map(_.path) == Seq("/fake/data/bucket=3/f3.parquet"))
+  }
+
+  test("commit conflict: disjoint-bucket writers rebase and both land; same-file conflict aborts") {
+    import graft.table._
+    val tbl = new ChronicleTable(tmpDir("table-conflict"))
+    def file(b: Int, n: String) =
+      DataFileMeta(s"/fake/bucket=$b/$n.parquet", 1L, b, n, n, 0L, 0L)
+    def pc(key: String, removed: Seq[String], added: Seq[DataFileMeta]) =
+      PendingCommit(key, removed, added, None,
+        LineageEntry(key, "t", -1, -1, 0, 0, 0, 0L, Map.empty, -1L))
+    var s = tbl.create(graft.model.Model.physicalSchemaV1, 4)
+    s = tbl.commit(s, pc("seed#0", Nil, Seq(file(0, "a0"), file(1, "b0"))))
+
+    // two writers build on the SAME base; writer 1 wins the version race
+    val base = tbl.loadCurrent()
+    val w1 = tbl.commit(base, pc("w1#0", Nil, Seq(file(0, "a1"))))
+    assert(w1.version == base.version + 1)
+    // writer 2 rewrites bucket 1 from the stale base: CREATE_NEW conflicts,
+    // commit reloads, sees its removed file still live, rebases, lands
+    val w2 = tbl.commit(base,
+      pc("w2#0", Seq(file(1, "b0").path), Seq(file(1, "b1"))))
+    assert(w2.version == base.version + 2)
+    val paths = tbl.filesOf(tbl.loadCurrent()).map(_.path).toSet
+    assert(paths == Set("/fake/bucket=0/a0.parquet", "/fake/bucket=0/a1.parquet",
+      "/fake/bucket=1/b1.parquet"))
+
+    // un-rebasable: a third writer from the same stale base removes the
+    // file writer 2 already rewrote -> clear conflict error
+    val e = intercept[IllegalStateException] {
+      tbl.commit(base, pc("w3#0", Seq(file(1, "b0").path), Seq(file(1, "b2"))))
+    }
+    assert(e.getMessage.contains("conflict"))
+  }
+
+  test("concurrent compaction and merge on disjoint buckets both commit; state equals sequential") {
+    val tbl = tmpDir("table-concurrent")
+    val p = new CdcPipeline(PipelineConfig("", tbl, numBuckets = 4))
+    p.ensureTable()
+    // find keys by bucket: conv-h* in the hot bucket (file accumulation),
+    // one key in a DIFFERENT bucket for the racing merge
+    val probe = (0 until 40).map(i => f"conv-h$i%03d")
+    val bucketOf = spark.createDataFrame(probe.map(Tuple1(_))).toDF("k")
+      .select(col("k"), graft.table.ChronicleTable.bucketExpr("k", 4).as("b"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val hotBucket = bucketOf(probe.head)
+    val hotKeys = probe.filter(k => bucketOf(k) == hotBucket).take(6)
+    val otherKey = probe.find(k => bucketOf(k) != hotBucket).get
+    assert(hotKeys.size == 6)
+    // 6 disjoint-range commits accumulate 6 files in the hot bucket
+    hotKeys.zipWithIndex.foreach { case (k, i) =>
+      val batch = Seq((i.toLong, "I", k, 0, "user", s"text $k",
+        None: Option[String], new java.sql.Timestamp(0L)))
+        .toDF("lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+      MergeInto(spark, p.table, batch, s"seed#$i", "t")
+    }
+    val batch2 = Seq((100L, "I", otherKey, 0, "user", "merged row",
+      None: Option[String], new java.sql.Timestamp(0L)))
+      .toDF("lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val v0 = p.table.loadCurrent().version
+
+    // race them: compaction rewrites the hot bucket, the merge adds to a
+    // different one; whichever loses the version race must rebase and land
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val fCompact = pool.submit(new java.util.concurrent.Callable[Int] {
+      def call(): Int = { start.await(); Compaction(spark, p.table, maxFilesPerBucket = 2).compactedBuckets }
+    })
+    val fMerge = pool.submit(new java.util.concurrent.Callable[Long] {
+      def call(): Long = { start.await(); MergeInto(spark, p.table, batch2, "race#0", "t").upserts }
+    })
+    start.countDown()
+    val (compacted, upserts) = (fCompact.get(), fMerge.get())
+    pool.shutdown()
+    assert(compacted == 1 && upserts == 1)
+    val after = p.table.loadCurrent()
+    assert(after.version == v0 + 2, s"expected both commits to land, at v${after.version}")
+    // final state = sequential outcome: all hot rows + the merged row
+    val texts = p.currentState(spark).select("text").as[String].collect().toSet
+    assert(texts == hotKeys.map(k => s"text $k").toSet + "merged row")
+    assert(graft.table.ChronicleTable.isCommitted(after, "race#0"))
+  }
+
   test("snapshot expiry deletes old manifests + only-expired data files; current state intact") {
     val src = tmpDir("binlog-expire")
     val tbl = tmpDir("table-expire")
@@ -158,7 +282,7 @@ class TableOpsSpec extends SparkSpec {
     val before = p.table.loadCurrent()
     val state = p.currentState(spark).collect().toSeq
     val allFilesEver = p.table.versions
-      .flatMap(v => p.table.loadVersion(v).files.map(_.path)).distinct
+      .flatMap(v => p.table.filesOf(p.table.loadVersion(v)).map(_.path)).distinct
 
     val (expired, deleted) = p.table.expireSnapshots(keepLast = 3)
     assert(expired.nonEmpty && deleted.nonEmpty)
@@ -169,10 +293,11 @@ class TableOpsSpec extends SparkSpec {
     val after = p.table.loadCurrent()
     assert(after.version == before.version)
     assert(p.currentState(spark).collect().toSeq == state)
-    after.files.foreach(f =>
+    p.table.filesOf(after).foreach(f =>
       assert(java.nio.file.Files.exists(java.nio.file.Paths.get(f.path))))
     // deleted = exactly the files referenced by no retained version
-    val live = p.table.versions.flatMap(v => p.table.loadVersion(v).files.map(_.path)).toSet
+    val live = p.table.versions
+      .flatMap(v => p.table.filesOf(p.table.loadVersion(v)).map(_.path)).toSet
     assert(deleted.toSet == allFilesEver.filterNot(live).toSet)
     // resume still works after expiry (ledger floor + cursor survive)
     assert(p.runOnce(spark).isEmpty) // nothing pending
@@ -192,9 +317,11 @@ class TableOpsSpec extends SparkSpec {
       MergeInto(spark, p.table, batch, s"day#$d", "t")
     }
     val snap = p.table.loadCurrent()
-    // per-file ts stats recorded
-    assert(snap.files.forall(f => f.minTsMs > 0 && f.maxTsMs >= f.minTsMs))
-    val day1 = snap.files.filter(f =>
+    val snapFiles = p.table.filesOf(snap)
+    // per-file ts stats recorded (and rolled up into the manifest list)
+    assert(snapFiles.forall(f => f.minTsMs > 0 && f.maxTsMs >= f.minTsMs))
+    assert(snap.manifestList.forall(m => m.minTsMs > 0 && m.maxTsMs >= m.minTsMs))
+    val day1 = snapFiles.filter(f =>
       f.minTsMs >= dayMs(1) && f.maxTsMs < dayMs(2)).map(_.path).toSet
     assert(day1.nonEmpty)
     // manifest-level pruning selects exactly day 1's files
@@ -206,11 +333,20 @@ class TableOpsSpec extends SparkSpec {
       java.nio.file.Paths.get(new java.net.URI(f)).toString).toSet
     assert(scanned == day1, s"scanned $scanned, expected $day1")
     assert(slice.count() == 10)
-    // stat-less files (pre-upgrade manifests) are conservatively kept
-    val legacy = snap.files.head.copy(minTsMs = 0L, maxTsMs = 0L)
-    val withLegacy = snap.copy(files = legacy +: snap.files.tail)
-    assert(p.table.pruneFilesByTime(withLegacy, dayMs(1), dayMs(2) - 1)
-      .exists(_.path == legacy.path))
+    // stat-less entries (pre-upgrade manifests) are conservatively kept at
+    // BOTH pruning levels: a (0,0) manifest summary is opened for any time
+    // range, and a (0,0) file inside it survives the file-level filter
+    val legacyManifest = java.nio.file.Paths.get(tbl, "meta", "manifests",
+      "m-0-legacy.json")
+    java.nio.file.Files.writeString(legacyManifest,
+      """{"bucket":0,"files":[{"path":"/nonexistent/legacy.parquet","rows":1,
+        |"bucket":0,"minKey":"a","maxKey":"z","minTsMs":0,"maxTsMs":0}]}""".stripMargin)
+    val legacy = graft.table.ManifestMeta(legacyManifest.toString, 0, 1, 1L,
+      "a", "z", 0L, 0L)
+    val withLegacy = snap.copy(manifests = legacy +: snap.manifestList)
+    val prunedLegacy = p.table.pruneFilesByTime(withLegacy, dayMs(1), dayMs(2) - 1)
+    assert(prunedLegacy.exists(_.path == "/nonexistent/legacy.parquet"))
+    assert(prunedLegacy.map(_.path).toSet == day1 + "/nonexistent/legacy.parquet")
   }
 
   test("CRC integrity: corrupted payloads divert to quarantine, valid rows pass") {
