@@ -44,7 +44,18 @@ case class PipelineConfig(
       * bound when this is on.
       */
     adaptiveBatching: Boolean = false,
-    targetBatchSec: Double = 30.0)
+    targetBatchSec: Double = 30.0,
+    /** Run table maintenance (small-file compaction + snapshot expiry +
+      * orphan GC) every this many applied batches; 0 = never. A 10^10-event
+      * replay otherwise accretes files and snapshots without bound — the
+      * reference rotates, uploads and deletes continuously as part of its
+      * drain (LocalFileSink.java:183-252, RemoteFileSink.java:151-216);
+      * here maintenance is a normal commit in the same ledger, safe to
+      * interleave with the drain (commit conflict rebase covers the race).
+      */
+    maintenanceEveryBatches: Int = 0,
+    compactMaxFilesPerBucket: Int = 8,
+    retainSnapshots: Int = 10)
 
 /** The CDC micro-batch driver: binlog segment dirs -> dedup -> MERGE ->
   * snapshot commit, resumable from the table's own commit ledger.
@@ -199,6 +210,22 @@ class CdcPipeline(val cfg: PipelineConfig) {
     }
   }
 
+  /** Periodic in-drain maintenance: compaction bounds the live-file count,
+    * expiry bounds snapshot/metadata history, orphan GC reclaims crash
+    * leftovers. All three go through the normal commit/delete protocols,
+    * so readers only ever see committed snapshots.
+    */
+  private def maybeMaintain(spark: SparkSession, applied: Int): Unit =
+    if (cfg.maintenanceEveryBatches > 0 &&
+        applied % cfg.maintenanceEveryBatches == 0) {
+      val r = graft.ops.Compaction(spark, table, cfg.compactMaxFilesPerBucket)
+      val (expired, deleted) = table.expireSnapshots(cfg.retainSnapshots)
+      table.gcOrphans()
+      if (verbose) println(s"[cdc] maintenance: compacted ${r.compactedBuckets} " +
+        s"buckets (${r.removedFiles} -> ${r.addedFiles} files), expired " +
+        s"${expired.size} snapshots, deleted ${deleted.size} data files")
+    }
+
   /** Drain all pending segments. Returns number of batches applied. */
   def runAll(spark: SparkSession, maxBatches: Int = Int.MaxValue): Int = {
     var n = 0
@@ -210,6 +237,7 @@ class CdcPipeline(val cfg: PipelineConfig) {
           n += 1
           if (verbose) println(f"[cdc] batch applied in ${(System.nanoTime() - t0) / 1e9}%.2fs " +
             f"(upserts=${r.upserts} deletes=${r.deletes} rewrote=${r.rewrittenFiles} added=${r.addedFiles})")
+          maybeMaintain(spark, n)
         case None => done = true
       }
     }
@@ -285,6 +313,10 @@ class CdcPipeline(val cfg: PipelineConfig) {
         n += 1
         if (verbose) println(f"[cdc] batch applied in $applySec%.2fs " +
           f"(upserts=${r.upserts} deletes=${r.deletes} rewrote=${r.rewrittenFiles} added=${r.addedFiles})")
+        // safe alongside the in-flight next-batch PREPARE: prepare reads no
+        // table state, and the commit-conflict rebase covers the (single-
+        // threaded here anyway) compaction-vs-merge window
+        maybeMaintain(spark, n)
       }
       n
     } catch {

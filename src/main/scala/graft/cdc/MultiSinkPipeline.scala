@@ -81,6 +81,41 @@ class MultiSinkPipeline(val cfg: PipelineConfig, val routes: Seq[RouteConfig],
   def consumedSegment(): Long =
     tables.values.map(_.loadCurrent().cursors.getOrElse(cfg.sourceId, -1L)).min
 
+  /** Upper bound on concurrently-applied sink merges per batch. */
+  @volatile var maxConcurrentSinks: Int = 4
+
+  /** Apply all sink merges for one persisted batch CONCURRENTLY: the sink
+    * tables are disjoint, each merge is an independent Spark job graph
+    * (Spark schedules concurrent jobs from one session fairly), and the
+    * per-sink batchKey ledger already makes any interleaving of commits
+    * crash-consistent — so per-batch wall-clock is max(sink merge), not
+    * sum. This is the reference's concurrent per-sink queue drain
+    * (QueuedSink.java:96-153: every sink's writer thread drains while the
+    * router keeps feeding).
+    */
+  private def applyAll(work: Seq[(String, () => MergeResult)]): Seq[(String, MergeResult)] = {
+    if (work.size == 1) return work.map { case (s, f) => s -> f() }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(maxConcurrentSinks, work.size))
+    try {
+      val futures = work.map { case (s, f) =>
+        s -> pool.submit(new java.util.concurrent.Callable[MergeResult] {
+          def call(): MergeResult = f()
+        })
+      }
+      // await ALL before propagating a failure: sinks that committed stay
+      // committed (their ledger skips the replay); the failed sink retries
+      // the same deterministic batchKey on the next drive
+      val results = futures.map { case (s, fut) =>
+        s -> (try Right(fut.get()) catch {
+          case e: java.util.concurrent.ExecutionException => Left(e.getCause)
+        })
+      }
+      results.collectFirst { case (_, Left(t)) => t }.foreach(t => throw t)
+      results.collect { case (s, Right(r)) => s -> r }
+    } finally pool.shutdown()
+  }
+
   def runOnce(spark: SparkSession): Option[Seq[(String, MergeResult)]] = {
     ensureTables()
     val cursor = consumedSegment()
@@ -98,15 +133,16 @@ class MultiSinkPipeline(val cfg: PipelineConfig, val routes: Seq[RouteConfig],
       val preds = compiled
       val noneMatched = preds.map { case (_, p) => !p }
         .reduceOption(_ && _).getOrElse(lit(true))
-      val results = preds.map { case (r, pred) =>
-        r.sink -> MergeInto(spark, tables(r.sink), aliased(batch.filter(pred), r), batchKey,
+      val work: Seq[(String, () => MergeResult)] = preds.map { case (r, pred) =>
+        r.sink -> (() => MergeInto(spark, tables(r.sink),
+          aliased(batch.filter(pred), r), batchKey,
           source = slice.mkString(","), saltBuckets = cfg.saltBuckets,
-          cursor = advance)
-      } :+ (defaultSink -> MergeInto(spark, tables(defaultSink),
+          cursor = advance))
+      } :+ (defaultSink -> (() => MergeInto(spark, tables(defaultSink),
         batch.filter(noneMatched), batchKey,
         source = slice.mkString(","), saltBuckets = cfg.saltBuckets,
-        cursor = advance))
-      Some(results)
+        cursor = advance)))
+      Some(applyAll(work))
     } finally batch.unpersist()
   }
 
@@ -142,16 +178,16 @@ class MultiSinkPipeline(val cfg: PipelineConfig, val routes: Seq[RouteConfig],
           val preds = compiled
           val noneMatched = preds.map { case (_, p) => !p }
             .reduceOption(_ && _).getOrElse(lit(true))
-          preds.foreach { case (r, pred) =>
-            MergeInto(batch.sparkSession, tables(r.sink),
+          val work: Seq[(String, () => MergeResult)] = preds.map { case (r, pred) =>
+            r.sink -> (() => MergeInto(batch.sparkSession, tables(r.sink),
               aliased(batch.filter(pred), r), batchKey,
               source = s"stream-epoch-$id", saltBuckets = cfg.saltBuckets,
-              orderedSource = false)
-          }
-          MergeInto(batch.sparkSession, tables(defaultSink),
+              orderedSource = false))
+          } :+ (defaultSink -> (() => MergeInto(batch.sparkSession, tables(defaultSink),
             batch.filter(noneMatched), batchKey,
             source = s"stream-epoch-$id", saltBuckets = cfg.saltBuckets,
-            orderedSource = false)
+            orderedSource = false)))
+          applyAll(work)
           ()
         } finally batch.unpersist()
       }

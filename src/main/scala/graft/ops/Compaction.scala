@@ -57,11 +57,16 @@ object Compaction {
 
     val added = MergeInto.collectStats(spark, staging)
     val dropped = victims.map(_.rows).sum - added.map(_.rows).sum
-    val lineage = LineageEntry(s"compact#v${base.version}", "compaction",
+    // Range-shaped key "compact#<prevFloor+1>-<version>": unique per run
+    // (the version always advances), and the contiguous-floor ledger
+    // compaction folds it away — a periodically-maintained table must not
+    // accrete one explicit ledger key per maintenance run.
+    val key = s"compact#${base.floors.getOrElse("compact", -1L) + 1}-${base.version}"
+    val lineage = LineageEntry(key, "compaction",
       -1L, -1L, 0, 0, added.map(_.rows).sum, 0L,
       added.groupBy(_.bucket.toString).map { case (b, fs) => b -> fs.map(_.rows).sum },
       -1L)
-    val next = table.commit(base, PendingCommit(s"compact#v${base.version}",
+    val next = table.commit(base, PendingCommit(key,
       victims.map(_.path), added, None, lineage))
     CompactionResult(next, targets.size, victims.size, added.size, dropped)
   }

@@ -51,6 +51,34 @@ class CdcPipelineSpec extends SparkSpec {
     assert(lin.map(_.getAs[String]("batch_key")).distinct.length == lin.length)
   }
 
+  test("in-drain maintenance bounds files and snapshots; state equals the unmaintained run") {
+    val cfg = BinlogConfig(numEvents = 3000, numConversations = 20,
+      segmentSize = 100, dupPct = 5, pDelete = 0.2)
+    val src = tmpDir("binlog-maint")
+    BinlogGenerator.writeSegments(spark, cfg, src)
+    // 30 micro-batches with maintenance every 5: compaction + expiry +
+    // orphan GC run from inside the (pipelined) drain loop
+    val maintained = new CdcPipeline(PipelineConfig(src, tmpDir("table-maint"),
+      segmentsPerBatch = 1, numBuckets = 2, maintenanceEveryBatches = 5,
+      compactMaxFilesPerBucket = 2, retainSnapshots = 3))
+    maintained.runAllPipelined(spark)
+    val plain = new CdcPipeline(PipelineConfig(src, tmpDir("table-plain"),
+      segmentsPerBatch = 1, numBuckets = 2))
+    plain.runAll(spark)
+
+    val snap = maintained.table.loadCurrent()
+    // live-file count bounded by the compaction threshold, not the batch count
+    assert(snap.numFiles <= 2 * (2 + 5),
+      s"maintenance failed to bound files: ${snap.numFiles}")
+    assert(maintained.table.versions.size <= 3 + 2 * 5, // retention + post-expiry commits
+      s"snapshot history unbounded: ${maintained.table.versions.size} versions")
+    assert(maintained.table.versions.size < plain.table.versions.size)
+    // identical final state, and resume still finds nothing pending
+    assert(tableRows(maintained) == tableRows(plain))
+    assert(tableRows(maintained) == oracleRows(cfg))
+    assert(maintained.runOnce(spark).isEmpty)
+  }
+
   test("replaying an already-committed batch is skipped (idempotent commit)") {
     val cfg = BinlogConfig(numEvents = 300, numConversations = 5, segmentSize = 100)
     val src = tmpDir("binlog-idem")

@@ -117,6 +117,46 @@ class PipelineRoutingSpec extends SparkSpec {
     }
   }
 
+  test("multi-sink apply is concurrent: first sink's commit can wait on the last sink's") {
+    import graft.cdc.MultiSinkPipeline
+    import graft.routing.RouteConfig
+    val cfg = BinlogConfig(numEvents = 400, numConversations = 6, segmentSize = 200)
+    val src = tmpDir("binlog-par")
+    val tbl = tmpDir("table-par")
+    BinlogGenerator.writeSegments(spark, cfg, src)
+    val routes = Seq(
+      RouteConfig("users", Some("""xpath("role") = "user"""")),
+      RouteConfig("agents", Some("""xpath("role") = "assistant"""")))
+    val p = new MultiSinkPipeline(
+      PipelineConfig(src, tbl, segmentsPerBatch = 2, numBuckets = 2), routes)
+    p.ensureTables()
+    // Structural concurrency probe: the FIRST sink in route order blocks
+    // its first publish until the LAST sink (default) has committed. A
+    // sequential apply (route order: users, agents, default) would
+    // deadlock here; the concurrent drain completes.
+    p.sinkTable("users").beforePublishHook = snap =>
+      if (snap.version == 1) {
+        val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+        def defaultCommitted: Boolean =
+          p.sinkTable("default").exists &&
+            p.sinkTable("default").loadCurrent().version >= 1
+        while (!defaultCommitted) {
+          if (System.nanoTime() > deadline)
+            throw new IllegalStateException(
+              "sink merges applied sequentially: default never committed " +
+                "while users' publish was pending")
+          Thread.sleep(50)
+        }
+      }
+    p.runAll(spark)
+    p.sinkTable("users").beforePublishHook = _ => ()
+    // convergence unaffected by the concurrent apply
+    assert(p.sinkState(spark, "users").count() > 0)
+    p.sinkNames.foreach { s =>
+      assert(p.sinkTable(s).loadCurrent().cursors("binlog") == 1L)
+    }
+  }
+
   test("aliased multi-sink route labels rows losslessly (merge keys untouched)") {
     import graft.cdc.MultiSinkPipeline
     import graft.routing.RouteConfig
