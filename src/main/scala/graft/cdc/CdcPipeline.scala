@@ -55,7 +55,12 @@ case class PipelineConfig(
       */
     maintenanceEveryBatches: Int = 0,
     compactMaxFilesPerBucket: Int = 8,
-    retainSnapshots: Int = 10)
+    retainSnapshots: Int = 10,
+    /** Record one [[MetricEvent]] per applied batch/epoch under
+      * <tableRoot>/metrics (the reference's /surosinkstat surface,
+      * SinkStat.java:29-41, as an append-only queryable ledger).
+      */
+    recordMetrics: Boolean = false)
 
 /** The CDC micro-batch driver: binlog segment dirs -> dedup -> MERGE ->
   * snapshot commit, resumable from the table's own commit ledger.
@@ -237,6 +242,7 @@ class CdcPipeline(val cfg: PipelineConfig) {
           n += 1
           if (verbose) println(f"[cdc] batch applied in ${(System.nanoTime() - t0) / 1e9}%.2fs " +
             f"(upserts=${r.upserts} deletes=${r.deletes} rewrote=${r.rewrittenFiles} added=${r.addedFiles})")
+          recordMetric(r, (System.nanoTime() - t0) / 1e9, "batch")
           maybeMaintain(spark, n)
         case None => done = true
       }
@@ -313,6 +319,7 @@ class CdcPipeline(val cfg: PipelineConfig) {
         n += 1
         if (verbose) println(f"[cdc] batch applied in $applySec%.2fs " +
           f"(upserts=${r.upserts} deletes=${r.deletes} rewrote=${r.rewrittenFiles} added=${r.addedFiles})")
+        recordMetric(r, applySec, "pipelined")
         // safe alongside the in-flight next-batch PREPARE: prepare reads no
         // table state, and the commit-conflict rebase covers the (single-
         // threaded here anyway) compaction-vs-merge window
@@ -335,6 +342,41 @@ class CdcPipeline(val cfg: PipelineConfig) {
   /** Per-batch timing log (set for profiling / CLI runs). */
   @volatile var verbose: Boolean = false
 
+  /** Metrics directory (next to the table, like lineage). */
+  def metricsDir: String = s"${cfg.tableRoot}/metrics"
+
+  private def recordMetric(r: MergeResult, sec: Double, mode: String): Unit =
+    if (cfg.recordMetrics)
+      Metrics.append(metricsDir, MetricEvent(cfg.sourceId, r.snapshot.version,
+        System.currentTimeMillis(), r.upserts + r.deletes, sec,
+        r.upserts, r.deletes, mode))
+
+  /** The metrics ledger as a DataFrame (rates/durations per batch/epoch,
+    * alongside [[lineage]]).
+    */
+  def metrics(spark: SparkSession): DataFrame = Metrics.view(spark, metricsDir)
+
+  /** Wall-clock seconds of each epoch applied by [[startStream]] since this
+    * pipeline was constructed — the measured signal the adaptive trigger
+    * sizing feeds on.
+    */
+  private val epochSecs = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
+  @volatile private var listenerAdded = false
+
+  /** Trigger size for the NEXT stream generation, from the measured mean
+    * epoch duration of the last one — the streaming face of the
+    * checkPause backpressure loop (suro pauses INPUTS when a sink lags,
+    * QueuedSink.java:51-60). A running file source cannot resize its
+    * trigger, but a restart from the same checkpoint re-reads the option:
+    * [[runStreamAdaptive]] cycles generations, each sized by the previous
+    * one's measured rate.
+    */
+  def adaptedMaxFilesPerTrigger(current: Int, cap: Int = 64): Int = {
+    val secs = epochSecs.toArray(Array.empty[java.lang.Double]).map(_.doubleValue)
+    if (secs.isEmpty) current
+    else nextBatchSize(current, secs.sum / secs.length, cfg.targetBatchSec, cap)
+  }
+
   /** The Structured Streaming variant of the same pipeline: Spark's file
     * source tracks offsets in its checkpoint, and foreachBatch applies the
     * identical idempotent MERGE — a replayed epoch after restart is skipped
@@ -344,24 +386,54 @@ class CdcPipeline(val cfg: PipelineConfig) {
   def startStream(spark: SparkSession, checkpointDir: String,
       maxFilesPerTrigger: Int = 8): org.apache.spark.sql.streaming.StreamingQuery = {
     ensureTable()
+    val queryName = s"graft-${cfg.sourceId}"
+    if (cfg.recordMetrics && !listenerAdded) {
+      listenerAdded = true
+      spark.streams.addListener(new Metrics.EpochListener(queryName, metricsDir))
+    }
     val stream = spark.readStream
       .schema(Model.changeSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(s"${cfg.sourceDir}/segment=*")
       .select(MergeInto.changeColumns: _*)
     stream.writeStream
+      .queryName(queryName)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
         // Epoch file-listing order is not the log order, so the global
         // high-water mark cannot be used; tombstones + the per-key LSN
         // guard make the merge order-independent instead.
-        MergeInto(batch.sparkSession, table, batch, s"${cfg.sourceId}-ss#$id",
+        val t0 = System.nanoTime()
+        val r = MergeInto(batch.sparkSession, table, batch, s"${cfg.sourceId}-ss#$id",
           source = s"stream-epoch-$id", saltBuckets = cfg.saltBuckets,
           orderedSource = false)
+        val sec = (System.nanoTime() - t0) / 1e9
+        epochSecs.add(sec)
+        recordMetric(r, sec, "stream")
         ()
       }
       .start()
+  }
+
+  /** Drain the source over several stream GENERATIONS, resizing the trigger
+    * between them from the measured epoch rate: generation g runs
+    * AvailableNow with maxFilesPerTrigger_g, and g+1 restarts from the same
+    * checkpoint with the size [[adaptedMaxFilesPerTrigger]] derived from
+    * g's mean epoch duration. Returns the trigger size the NEXT generation
+    * would use (the adapted steady-state intake).
+    */
+  def runStreamAdaptive(spark: SparkSession, checkpointDir: String,
+      initialMaxFiles: Int = 8, generations: Int = 2,
+      timeoutMs: Long = 300000): Int = {
+    var mfpt = initialMaxFiles
+    (0 until generations).foreach { _ =>
+      epochSecs.clear()
+      val q = startStream(spark, checkpointDir, mfpt)
+      q.awaitTermination(timeoutMs)
+      if (!epochSecs.isEmpty) mfpt = adaptedMaxFilesPerTrigger(mfpt)
+    }
+    mfpt
   }
 
   /** Final table state in stable turn order (the verification ordering from

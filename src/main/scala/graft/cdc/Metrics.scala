@@ -1,0 +1,76 @@
+package graft.cdc
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.types._
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+/** One operational metrics record per applied micro-batch/epoch — the
+  * engine's live-stats surface. The reference exposes per-sink rates and
+  * health over REST (`/surosinkstat`: SinkStat.java:29-41,
+  * StatusServer.java:46-56, backed by Servo meters, QueuedSink.java:45);
+  * here the same numbers land as an append-only JSONL ledger next to the
+  * table, queryable as a DataFrame alongside lineage. Writes are
+  * driver-side appends of one small line per batch — never a Spark job.
+  */
+case class MetricEvent(
+    source: String,
+    epoch: Long,
+    tsMs: Long,
+    rows: Long,
+    sec: Double,
+    upserts: Long,
+    deletes: Long,
+    mode: String)
+
+object Metrics {
+
+  private val mapper: ObjectMapper = {
+    val m = new ObjectMapper()
+    m.registerModule(DefaultScalaModule)
+    m
+  }
+
+  val schema: StructType = StructType(Seq(
+    StructField("source", StringType), StructField("epoch", LongType),
+    StructField("tsMs", LongType), StructField("rows", LongType),
+    StructField("sec", DoubleType), StructField("upserts", LongType),
+    StructField("deletes", LongType), StructField("mode", StringType)))
+
+  def file(dir: String): java.nio.file.Path = Paths.get(dir, "events.jsonl")
+
+  def append(dir: String, e: MetricEvent): Unit = synchronized {
+    val p = file(dir)
+    if (!Files.exists(p.getParent)) Files.createDirectories(p.getParent)
+    Files.writeString(p, mapper.writeValueAsString(e) + "\n",
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
+
+  /** The metrics ledger as a DataFrame (explicit schema — no inference scan). */
+  def view(spark: SparkSession, dir: String): DataFrame =
+    if (!Files.exists(file(dir)))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).json(file(dir).toString)
+
+  /** StreamingQueryListener recording one metrics line per epoch of the
+    * named query — the Structured Streaming half of the surface (progress
+    * events carry input rows and trigger durations; the foreachBatch side
+    * records merge-level upsert/delete counts separately).
+    */
+  class EpochListener(queryName: String, dir: String) extends StreamingQueryListener {
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+      if (e.progress.name == queryName) {
+        val sec = Option(e.progress.durationMs.get("triggerExecution"))
+          .map(_.toDouble / 1000).getOrElse(0.0)
+        append(dir, MetricEvent(queryName, e.progress.batchId,
+          System.currentTimeMillis(), e.progress.numInputRows, sec,
+          -1L, -1L, "stream-progress"))
+      }
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+  }
+}

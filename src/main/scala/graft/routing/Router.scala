@@ -76,17 +76,19 @@ object Router {
         coalesce(col("__tag.alias").cast(df.schema(table.keyColumn).dataType), key))
       .withColumn("__sink", col("__tag.sink"))
       .drop("__tags", "__tag")
-    tagged.write.partitionBy("__sink").mode("overwrite").parquet(outDir)
-    // per-sink counts from the written output: parquet count() is a
-    // metadata-only footer read, not a data scan
-    val spark = df.sparkSession
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.list(java.nio.file.Paths.get(outDir)).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(_.startsWith("__sink="))
-      .map { d =>
-        d.stripPrefix("__sink=") -> spark.read.parquet(s"$outDir/$d").count()
-      }.toMap
+    // Per-sink counts ride the write itself as observed metrics (one
+    // conditional-sum column per statically-known sink): ONE job total,
+    // where per-sink post-hoc count() jobs — however cheap each footer
+    // read is — would add O(sinks) job launches per batch.
+    val sinkNames = (table.routes.map(_.sink) :+
+      table.defaultSink :+ table.quarantineSink).distinct
+    val obs = org.apache.spark.sql.Observation()
+    val countCols = sinkNames.map(s =>
+      sum(when(col("__sink") === s, 1L).otherwise(0L)).as(s))
+    tagged.observe(obs, countCols.head, countCols.tail: _*)
+      .write.partitionBy("__sink").mode("overwrite").parquet(outDir)
+    obs.get.map { case (s, n) => s -> n.asInstanceOf[Long] }
+      .filter(_._2 > 0)
   }
 
   /** Compile and fan out. Returns sinkName -> DataFrame. A route's alias

@@ -79,6 +79,68 @@ class CdcPipelineSpec extends SparkSpec {
     assert(maintained.runOnce(spark).isEmpty)
   }
 
+  test("metrics ledger records one event per batch and per stream epoch") {
+    val cfg = BinlogConfig(numEvents = 600, numConversations = 6, segmentSize = 200)
+    val src = tmpDir("binlog-metrics")
+    BinlogGenerator.writeSegments(spark, cfg, src)
+    val p = new CdcPipeline(PipelineConfig(src, tmpDir("table-metrics"),
+      segmentsPerBatch = 1, numBuckets = 2, recordMetrics = true))
+    val applied = p.runAll(spark)
+    val batchRows = p.metrics(spark).collect()
+    assert(batchRows.count(_.getAs[String]("mode") == "batch") == applied)
+    assert(batchRows.forall(r => r.getAs[Double]("sec") > 0 &&
+      r.getAs[Long]("rows") >= 0))
+    // metrics sit alongside lineage: per-version upsert counts must agree
+    val byVersion = p.lineage(spark).collect()
+      .map(r => r.getAs[Long]("snapshot_version") -> r.getAs[Long]("upserts")).toMap
+    batchRows.filter(_.getAs[String]("mode") == "batch").foreach { r =>
+      assert(byVersion(r.getAs[Long]("epoch")) == r.getAs[Long]("upserts"))
+    }
+
+    // streaming: foreachBatch records per-epoch merges, the
+    // StreamingQueryListener adds progress events (delivered async)
+    val p2 = new CdcPipeline(PipelineConfig(src, tmpDir("table-metrics-ss"),
+      sourceId = "mss", numBuckets = 2, recordMetrics = true))
+    val q = p2.startStream(spark, tmpDir("ckpt-metrics"), maxFilesPerTrigger = 1)
+    q.awaitTermination(120000)
+    def modes = p2.metrics(spark).collect().groupBy(_.getAs[String]("mode"))
+      .view.mapValues(_.length).toMap
+    val deadline = System.currentTimeMillis() + 15000
+    while ((modes.getOrElse("stream-progress", 0) < 1) &&
+      System.currentTimeMillis() < deadline) Thread.sleep(200)
+    assert(modes.getOrElse("stream", 0) >= 3, s"per-epoch merge metrics missing: $modes")
+    assert(modes.getOrElse("stream-progress", 0) >= 1,
+      s"listener progress metrics missing: $modes")
+  }
+
+  test("streaming backpressure: trigger size adapts to the measured epoch rate") {
+    val cfg = BinlogConfig(numEvents = 1200, numConversations = 10,
+      segmentSize = 100, dupPct = 5)
+    val src = tmpDir("binlog-adaptive-ss")
+    BinlogGenerator.writeSegments(spark, cfg, src)
+    // slow sink + tight target: the measured epoch rate must shrink the
+    // next generation's trigger to the floor
+    val p = new CdcPipeline(PipelineConfig(src, tmpDir("table-adp"),
+      sourceId = "adp", numBuckets = 2, targetBatchSec = 0.15))
+    p.ensureTable()
+    p.table.beforePublishHook = _ => Thread.sleep(300)
+    val q = p.startStream(spark, tmpDir("ckpt-adp"), maxFilesPerTrigger = 4)
+    q.awaitTermination(180000)
+    p.table.beforePublishHook = _ => ()
+    assert(p.adaptedMaxFilesPerTrigger(4) == 1,
+      s"slow sink did not shrink the trigger: ${p.adaptedMaxFilesPerTrigger(4)}")
+    assert(tableRows(p) == oracleRows(cfg))
+
+    // fast sink + loose target: the next generation grows (clamped at 2x
+    // per step), and the generation loop still converges to the oracle
+    val p2 = new CdcPipeline(PipelineConfig(src, tmpDir("table-adp2"),
+      sourceId = "adp2", numBuckets = 2, targetBatchSec = 120))
+    val adapted = p2.runStreamAdaptive(spark, tmpDir("ckpt-adp2"),
+      initialMaxFiles = 2, generations = 1)
+    assert(adapted == 4, s"fast sink did not grow the trigger: $adapted")
+    assert(tableRows(p2) == oracleRows(cfg))
+  }
+
   test("replaying an already-committed batch is skipped (idempotent commit)") {
     val cfg = BinlogConfig(numEvents = 300, numConversations = 5, segmentSize = 100)
     val src = tmpDir("binlog-idem")
