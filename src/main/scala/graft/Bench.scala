@@ -183,9 +183,11 @@ object Bench {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
 
-      case class Trial(cores: Int, sec: Double, steal: Double)
+      case class Trial(cores: Int, sec: Double, steal: Double,
+          phases: Map[String, Double])
       def timed(cores: Int): Trial = {
         val s0 = hostStealSnapshot()
+        graft.ops.MergeInto.drainPhaseSeconds() // reset the accumulator
         val s = session(cores)
         val sec =
           try cdcReplay(s, binlogDir, numEvents)
@@ -194,7 +196,8 @@ object Bench {
             SparkSession.clearActiveSession()
             SparkSession.clearDefaultSession()
           }
-        Trial(cores, sec, stealFraction(s0, hostStealSnapshot()))
+        Trial(cores, sec, stealFraction(s0, hostStealSnapshot()),
+          graft.ops.MergeInto.drainPhaseSeconds())
       }
 
       // Noise-immune protocol: the rule's N vs 4N is measured at the widest
@@ -274,22 +277,34 @@ object Bench {
       val nHi = nLo * 4
       val trials = pick.trials
       val eff = pick.eff
-      def bestSec(c: Int): Double = {
+      def bestTrial(c: Int): Option[Trial] = {
         val ok = trials.filter(t => t.cores == c && t.steal <= stealCap)
         val pool = if (ok.nonEmpty) ok else trials.filter(_.cores == c)
-        if (pool.isEmpty) Double.NaN else pool.map(_.sec).min
+        pool.minByOption(_.sec)
       }
-      val secLo = bestSec(nLo)
-      val secHi = bestSec(nHi)
+      val secLo = bestTrial(nLo).map(_.sec).getOrElse(Double.NaN)
+      val secHi = bestTrial(nHi).map(_.sec).getOrElse(Double.NaN)
       val tpLo = numEvents / secLo
       val tpHi = numEvents / secHi
       rmTree(binlogDir)
+      // Per-phase seconds (prepare=dedup shuffle, stats agg, write, footer
+      // stats-job, commit) of the best trial at each level of the chosen
+      // rung: cumulative engine-side wall time, overlapping in the pipelined
+      // drain, so the per-phase lo/hi ratio — not the sum — is the signal
+      // that keeps a sub-1.0 efficiency attributable (substrate vs one
+      // phase regressing).
+      def phasesJson(t: Option[Trial]): String =
+        t.map(_.phases.toSeq.sortBy(_._1)
+          .map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}"))
+          .getOrElse("{}")
+      val phasesLo = phasesJson(bestTrial(nLo))
+      val phasesHi = phasesJson(bestTrial(nHi))
       val protoJson = results.map { r =>
         val tj = r.trials.map(t => f"""[${t.cores},${t.sec}%.2f,${t.steal}%.3f]""")
           .mkString("[", ",", "]")
         f"""{"n_lo":${r.nLo},"host_cpu_ceiling":${r.ceiling}%.3f,"skipped":${r.skipped},"scaling_efficiency":${r.eff}%.3f,"trials":$tj}"""
       }.mkString("[", ",", "]")
-      cdcJson = f""","cdc":{"events":$numEvents,"n_lo":$nLo,"n_hi":$nHi,"sec_lo":$secLo%.2f,"sec_hi":$secHi%.2f,"events_per_sec_lo":${tpLo.toLong},"events_per_sec_hi":${tpHi.toLong},"scaling_efficiency":$eff%.3f,"host_cpu_ceiling":${pick.ceiling}%.3f,"steal_cap":$stealCap,"ceiling_cap":$ceilCap,"protocols":$protoJson}"""
+      cdcJson = f""","cdc":{"events":$numEvents,"n_lo":$nLo,"n_hi":$nHi,"sec_lo":$secLo%.2f,"sec_hi":$secHi%.2f,"events_per_sec_lo":${tpLo.toLong},"events_per_sec_hi":${tpHi.toLong},"scaling_efficiency":$eff%.3f,"host_cpu_ceiling":${pick.ceiling}%.3f,"steal_cap":$stealCap,"ceiling_cap":$ceilCap,"phases_lo":$phasesLo,"phases_hi":$phasesHi,"protocols":$protoJson}"""
     } else spark0.stop()
 
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }

@@ -81,6 +81,34 @@ object MergeInto {
   /** Phase-timing log for profiling runs. */
   @volatile var profile: Boolean = false
 
+  // Cumulative per-phase wall nanos since the last drain — always recorded
+  // (two clock reads + one adder bump per phase) so the bench can report a
+  // per-phase scaling breakdown without a special profiling mode. Phases
+  // overlap wall-clock in the pipelined drain (prepare runs concurrently
+  // with the predecessor's write), so these sum to MORE than elapsed time;
+  // the per-phase lo/hi RATIO is the meaningful signal.
+  private val phaseNanos =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.LongAdder]()
+
+  private def tick[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    val dt = System.nanoTime() - t0
+    phaseNanos.computeIfAbsent(name,
+      _ => new java.util.concurrent.atomic.LongAdder).add(dt)
+    if (profile) println(f"[merge] $name ${dt / 1e9}%.2fs")
+    r
+  }
+
+  /** Per-phase cumulative seconds since the previous drain, then reset —
+    * the bench snapshots this around each replay trial.
+    */
+  def drainPhaseSeconds(): Map[String, Double] = {
+    val out = phaseNanos.asScala.map { case (k, v) => k -> v.sum / 1e9 }.toMap
+    phaseNanos.clear()
+    out
+  }
+
   /** The table-independent heavy phase: LWW dedup of a raw batch, bucket
     * assignment, persisted. Safe to run CONCURRENTLY with the previous
     * batch's apply (it reads no table state) — the pipelined driver
@@ -90,7 +118,7 @@ object MergeInto {
     * committed predecessor cannot resurrect deleted rows.
     */
   def prepare(spark: SparkSession, batch: DataFrame, numBuckets: Int,
-      saltBuckets: Int = 0): DataFrame = {
+      saltBuckets: Int = 0): DataFrame = tick("prepare") {
     val d = dedupOnly(batch, numBuckets, saltBuckets).cache()
     d.count() // materialize now — that's the point of the overlap
     d
@@ -151,12 +179,6 @@ object MergeInto {
       else dedupedAll
 
     try {
-      def tick[T](name: String)(f: => T): T = {
-        val t0 = System.nanoTime()
-        val r = f
-        if (profile) println(f"[merge] $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
-        r
-      }
       // --- one metadata pass over the (small) deduped batch ---------------
       val stats = tick("stats")(deduped.agg(
         min(Model.ordColumn).as("minLsn"), max(Model.ordColumn).as("maxLsn"),
@@ -267,7 +289,7 @@ object MergeInto {
         -1L)
       val pending = PendingCommit(batchKey, touchedPaths, added,
         if (evolved) Some(physicalSchema) else None, lineage, cursor)
-      val next = table.commit(base, pending)
+      val next = tick("commit")(table.commit(base, pending))
       MergeResult(next, skipped = false, n - deletes, deletes, touched.size, added.size)
     } finally dedupedAll.unpersist()
   }
