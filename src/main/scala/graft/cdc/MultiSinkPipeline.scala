@@ -33,33 +33,76 @@ import org.apache.spark.storage.StorageLevel
   * (DynamicPropertySinkConfigurator.java:54-56 enforces `default`).
   */
 class MultiSinkPipeline(val cfg: PipelineConfig, val routes: Seq[RouteConfig],
-    val defaultSink: String = "default") {
-  require(routes.map(_.sink).distinct.size == routes.size,
-    "routes must target distinct sinks (one route per sink)")
-  require(!routes.exists(_.sink == defaultSink),
-    s"'$defaultSink' is the implicit no-match sink; don't route to it explicitly")
+    val defaultSink: String = "default",
+    /** When set, the route list is RE-READ from this JSON file (the
+      * [[graft.routing.Router.parseRoutes]] shape) before every batch/epoch,
+      * so editing it adds or removes sinks without a restart — the
+      * reference's dynamic-property sink hot-swap (SinkManager.set,
+      * SinkManager.java:57-83, InputManager.java:36-56). A removed sink's
+      * table stays on disk (re-adding it resumes from its own cursor); the
+      * constructor `routes` serve as the fallback when the file is absent
+      * or empty.
+      */
+    val routesFile: Option[String] = None,
+    /** Cursor policy for a sink added mid-drain: `true` replays the whole
+      * source through it (existing sinks skip every replayed batchKey via
+      * their ledgers, so they only pay the re-scan); `false` starts it at
+      * the current global cursor — the reference's live hot-add semantics
+      * (a new sink sees only traffic from now on).
+      */
+    val backfillNewSinks: Boolean = true) {
+
+  private def validate(rs: Seq[RouteConfig]): Seq[RouteConfig] = {
+    require(rs.map(_.sink).distinct.size == rs.size,
+      "routes must target distinct sinks (one route per sink)")
+    require(!rs.exists(_.sink == defaultSink),
+      s"'$defaultSink' is the implicit no-match sink; don't route to it explicitly")
+    rs
+  }
+  validate(routes)
+
+  /** The route set in force right now: the hot-reload file when present
+    * (re-parsed on every call — one tiny driver-side read per batch, same
+    * discipline as the route-filter hot-swap, CdcPipeline.route), else the
+    * constructor routes.
+    */
+  def currentRoutes(): Seq[RouteConfig] = routesFile match {
+    case Some(f) if java.nio.file.Files.exists(java.nio.file.Paths.get(f)) =>
+      val json = java.nio.file.Files.readString(java.nio.file.Paths.get(f)).trim
+      if (json.isEmpty) routes
+      else validate(graft.routing.Router.parseRoutes(json))
+    case _ => routes
+  }
 
   /** The single-sink pipeline machinery is reused per sink; this shell
     * pipeline provides segment listing only.
     */
   private val shell = new CdcPipeline(cfg)
 
-  val sinkNames: Seq[String] = routes.map(_.sink) :+ defaultSink
+  /** Sinks of the route set in force now (dynamic under [[routesFile]]). */
+  def sinkNames: Seq[String] = currentRoutes().map(_.sink) :+ defaultSink
 
-  private val tables: Map[String, ChronicleTable] = sinkNames.map { s =>
-    s -> new ChronicleTable(s"${cfg.tableRoot}/sinks/$s")
-  }.toMap
+  // Lazily-created handles: sinks can appear mid-drain, and a removed
+  // sink's handle (and table) stays — only the route set is dynamic.
+  private val tables =
+    new java.util.concurrent.ConcurrentHashMap[String, ChronicleTable]()
 
-  def sinkTable(name: String): ChronicleTable = tables(name)
+  def sinkTable(name: String): ChronicleTable =
+    tables.computeIfAbsent(name,
+      s => new ChronicleTable(s"${cfg.tableRoot}/sinks/$s"))
 
-  def ensureTables(): Unit = tables.values.foreach { t =>
+  private def ensureTables(names: Seq[String]): Unit = names.foreach { s =>
+    val t = sinkTable(s)
     if (!t.exists) t.create(Model.physicalSchemaV1, cfg.numBuckets)
   }
 
+  def ensureTables(): Unit = ensureTables(sinkNames)
+
   /** Compiled null-safe predicate per route; default = matches no route. */
-  private def compiled: Seq[(RouteConfig, Column)] = routes.map { r =>
-    r -> coalesce(r.filter.map(FilterDsl.compile).getOrElse(lit(true)), lit(false))
-  }
+  private def compiledFrom(rs: Seq[RouteConfig]): Seq[(RouteConfig, Column)] =
+    rs.map { r =>
+      r -> coalesce(r.filter.map(FilterDsl.compile).getOrElse(lit(true)), lit(false))
+    }
 
   /** A route alias here labels the rows, it does NOT rewrite the key: the
     * sink MERGE dedups on (conv_id, turn_idx), so overwriting conv_id (the
@@ -77,9 +120,24 @@ class MultiSinkPipeline(val cfg: PipelineConfig, val routes: Seq[RouteConfig],
     case None => df
   }
 
-  /** Slowest sink's consumed-segment cursor = the global resume point. */
-  def consumedSegment(): Long =
-    tables.values.map(_.loadCurrent().cursors.getOrElse(cfg.sourceId, -1L)).min
+  /** Slowest sink's consumed-segment cursor = the global resume point.
+    * A sink with no cursor yet (just created) counts as -1 under backfill
+    * (drag the drain back to the start; ledger-skip heals existing sinks)
+    * and is IGNORED otherwise (it adopts the current position at its first
+    * applied batch).
+    */
+  def consumedSegment(names: Seq[String]): Long = {
+    val cursors = names.map(s =>
+      sinkTable(s).loadCurrent().cursors.get(cfg.sourceId))
+    val effective = cursors.map {
+      case Some(c) => c
+      case None => if (backfillNewSinks) -1L else Long.MaxValue
+    }
+    val m = if (effective.isEmpty) -1L else effective.min
+    if (m == Long.MaxValue) -1L else m
+  }
+
+  def consumedSegment(): Long = consumedSegment(sinkNames)
 
   /** Upper bound on concurrently-applied sink merges per batch. */
   @volatile var maxConcurrentSinks: Int = 4
@@ -117,8 +175,11 @@ class MultiSinkPipeline(val cfg: PipelineConfig, val routes: Seq[RouteConfig],
   }
 
   def runOnce(spark: SparkSession): Option[Seq[(String, MergeResult)]] = {
-    ensureTables()
-    val cursor = consumedSegment()
+    // one route snapshot governs the whole batch (hot-reload boundary)
+    val rs = currentRoutes()
+    val names = rs.map(_.sink) :+ defaultSink
+    ensureTables(names)
+    val cursor = consumedSegment(names)
     val slice = shell.listSegments().filter(s => shell.segNum(s) > cursor)
       .take(cfg.segmentsPerBatch)
     if (slice.isEmpty) return None
@@ -130,15 +191,15 @@ class MultiSinkPipeline(val cfg: PipelineConfig, val routes: Seq[RouteConfig],
     val batch = shell.readBatch(spark, slice)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      val preds = compiled
+      val preds = compiledFrom(rs)
       val noneMatched = preds.map { case (_, p) => !p }
         .reduceOption(_ && _).getOrElse(lit(true))
       val work: Seq[(String, () => MergeResult)] = preds.map { case (r, pred) =>
-        r.sink -> (() => MergeInto(spark, tables(r.sink),
+        r.sink -> (() => MergeInto(spark, sinkTable(r.sink),
           aliased(batch.filter(pred), r), batchKey,
           source = slice.mkString(","), saltBuckets = cfg.saltBuckets,
           cursor = advance))
-      } :+ (defaultSink -> (() => MergeInto(spark, tables(defaultSink),
+      } :+ (defaultSink -> (() => MergeInto(spark, sinkTable(defaultSink),
         batch.filter(noneMatched), batchKey,
         source = slice.mkString(","), saltBuckets = cfg.saltBuckets,
         cursor = advance)))
@@ -173,17 +234,23 @@ class MultiSinkPipeline(val cfg: PipelineConfig, val routes: Seq[RouteConfig],
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val batchKey = s"${cfg.sourceId}-ss#$id"
+        // per-epoch route snapshot: sink hot-add/remove reaches the stream
+        // without a restart (a sink added mid-stream sees traffic from its
+        // first epoch; Spark's checkpoint governs the source cursor here,
+        // so backfillNewSinks applies only to the batch drain)
+        val rs = currentRoutes()
+        ensureTables(rs.map(_.sink) :+ defaultSink)
         batch.persist(StorageLevel.MEMORY_AND_DISK)
         try {
-          val preds = compiled
+          val preds = compiledFrom(rs)
           val noneMatched = preds.map { case (_, p) => !p }
             .reduceOption(_ && _).getOrElse(lit(true))
           val work: Seq[(String, () => MergeResult)] = preds.map { case (r, pred) =>
-            r.sink -> (() => MergeInto(batch.sparkSession, tables(r.sink),
+            r.sink -> (() => MergeInto(batch.sparkSession, sinkTable(r.sink),
               aliased(batch.filter(pred), r), batchKey,
               source = s"stream-epoch-$id", saltBuckets = cfg.saltBuckets,
               orderedSource = false))
-          } :+ (defaultSink -> (() => MergeInto(batch.sparkSession, tables(defaultSink),
+          } :+ (defaultSink -> (() => MergeInto(batch.sparkSession, sinkTable(defaultSink),
             batch.filter(noneMatched), batchKey,
             source = s"stream-epoch-$id", saltBuckets = cfg.saltBuckets,
             orderedSource = false)))
@@ -196,7 +263,7 @@ class MultiSinkPipeline(val cfg: PipelineConfig, val routes: Seq[RouteConfig],
 
   /** Final visible state of one sink, stable turn order. */
   def sinkState(spark: SparkSession, sink: String): DataFrame =
-    tables(sink).read(spark)
+    sinkTable(sink).read(spark)
       .filter(!col(Model.deletedColumn))
       .drop(Model.lsnColumn, Model.deletedColumn)
       .orderBy("conv_id", "turn_idx")

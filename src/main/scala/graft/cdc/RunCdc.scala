@@ -141,11 +141,12 @@ object RunCdc {
     // [numBuckets]: the multi-sink streaming pipeline — one input fanning
     // out to N ChronicleTables with per-sink ledgers.
     case "routedrun" =>
-      val routes = graft.routing.Router.parseRoutes(
-        java.nio.file.Files.readString(java.nio.file.Paths.get(args(3))))
+      // the routes JSON is passed as a LIVE file: edits between batches
+      // hot-add/remove sinks (the reference's dynamic-property sink swap)
       val p = new MultiSinkPipeline(PipelineConfig(args(1), args(2),
         segmentsPerBatch = if (args.length > 4) args(4).toInt else 4,
-        numBuckets = if (args.length > 5) args(5).toInt else 16), routes)
+        numBuckets = if (args.length > 5) args(5).toInt else 16),
+        routes = Nil, routesFile = Some(args(3)))
       val n = p.runAll(spark)
       println(s"applied $n batches to ${p.sinkNames.size} sinks")
       p.sinkNames.foreach { s =>

@@ -191,6 +191,98 @@ class PipelineRoutingSpec extends SparkSpec {
       == Seq("user-topic"))
   }
 
+  test("sinks hot-add and hot-remove from the routes file mid-drain") {
+    import graft.cdc.MultiSinkPipeline
+    import graft.routing.RouteConfig
+    val cfg = BinlogConfig(numEvents = 1200, numConversations = 8, segmentSize = 200)
+    val src = tmpDir("binlog-hotswap")
+    val tbl = tmpDir("table-hotswap")
+    BinlogGenerator.writeSegments(spark, cfg, src)
+    val routesFile = java.nio.file.Paths.get(tmpDir("hotswap-routes"), "routes.json")
+    def setRoutes(json: String): Unit =
+      java.nio.file.Files.writeString(routesFile, json)
+
+    setRoutes("""[{"sink":"users","filter":"xpath(\"role\") = \"user\""}]""")
+    val p = new MultiSinkPipeline(
+      PipelineConfig(src, tbl, segmentsPerBatch = 1, numBuckets = 2),
+      routes = Nil, routesFile = Some(routesFile.toString),
+      backfillNewSinks = false)
+    assert(p.runAll(spark, maxBatches = 3) == 3) // segments 0..2 consumed
+
+    // HOT-ADD agents (no backfill): it must see only traffic from now on
+    setRoutes(
+      """[{"sink":"users","filter":"xpath(\"role\") = \"user\""},
+         |{"sink":"agents","filter":"xpath(\"role\") = \"assistant\""}]""".stripMargin)
+    p.runAll(spark)
+
+    def fold(pred: graft.model.Model.ChangeEvent => Boolean,
+        fromLsn: Long = 0L) = {
+      val cdf = BinlogGenerator.zipfCdf(cfg.numConversations, cfg.zipfS)
+      val st = scala.collection.mutable.Map[(String, Int), String]()
+      (fromLsn until cfg.numEvents).foreach { lsn =>
+        val ev = BinlogGenerator.eventAt(cfg, cdf, lsn)
+        if (pred(ev)) {
+          if (ev.op == "D") st.remove((ev.conv_id, ev.turn_idx))
+          else st((ev.conv_id, ev.turn_idx)) = ev.text
+        }
+      }
+      st.toSeq.sortBy(_._1)
+    }
+    def state(sink: String) = p.sinkState(spark, sink)
+      .select("conv_id", "turn_idx", "text").collect().toSeq
+      .map(r => ((r.getString(0), r.getInt(1)), r.getString(2)))
+      .sortBy(_._1)
+
+    // users saw every segment; agents only segments 3..5 (lsn >= 600)
+    assert(state("users") == fold(_.role == "user"))
+    assert(state("agents") == fold(_.role == "assistant", fromLsn = 600))
+    assert(p.sinkTable("agents").loadCurrent().cursors("binlog") == 5L)
+
+    // HOT-REMOVE users, then land one more hand-built segment: agents
+    // advances past it, users' cursor and state stay frozen
+    setRoutes("""[{"sink":"agents","filter":"xpath(\"role\") = \"assistant\""}]""")
+    val usersBefore = state("users")
+    Seq((1200L, "I", "conv-hot", 0, "assistant", "hot-add-0", None: Option[String], ts(1200)),
+      (1201L, "I", "conv-hot", 1, "user", "hot-add-1", None: Option[String], ts(1201)))
+      .toDF("lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+      .write.mode("overwrite").parquet(s"$src/segment=6")
+    p.runAll(spark)
+    assert(state("users") == usersBefore)
+    assert(p.sinkTable("users").loadCurrent().cursors("binlog") == 5L)
+    assert(p.sinkTable("agents").loadCurrent().cursors("binlog") == 6L)
+    assert(state("agents").exists(_._2 == "hot-add-0"))
+    // the removed route's events fall through to default from now on
+    assert(p.sinkState(spark, "default").filter(col("text") === "hot-add-1").count() == 1)
+
+    // BACKFILL hot-add: a second pipeline over the same source, agents
+    // added after 2 batches with backfillNewSinks=true replays history
+    // through the new sink (existing sinks skip the replayed batchKeys)
+    val routesFile2 = java.nio.file.Paths.get(tmpDir("hotswap-routes2"), "routes.json")
+    def setRoutes2(json: String): Unit =
+      java.nio.file.Files.writeString(routesFile2, json)
+    setRoutes2("""[{"sink":"users","filter":"xpath(\"role\") = \"user\""}]""")
+    val p2 = new MultiSinkPipeline(
+      PipelineConfig(src, tmpDir("table-hotswap-bf"), segmentsPerBatch = 1,
+        numBuckets = 2),
+      routes = Nil, routesFile = Some(routesFile2.toString))
+    assert(p2.runAll(spark, maxBatches = 2) == 2)
+    setRoutes2(
+      """[{"sink":"users","filter":"xpath(\"role\") = \"user\""},
+         |{"sink":"agents","filter":"xpath(\"role\") = \"assistant\""}]""".stripMargin)
+    p2.runAll(spark)
+    def state2(sink: String) = p2.sinkState(spark, sink)
+      .select("conv_id", "turn_idx", "text").collect().toSeq
+      .map(r => ((r.getString(0), r.getInt(1)), r.getString(2)))
+      .sortBy(_._1)
+    // the backfilled sink holds the FULL fold including the hand-built tail
+    val fullAgents = (fold(_.role == "assistant") :+
+      (("conv-hot", 0) -> "hot-add-0")).sortBy(_._1)
+    assert(state2("agents") == fullAgents)
+    // replay did not double-apply the pre-existing sinks
+    val userKeys = p2.sinkTable("users").fullLineage().map(_.batchKey)
+    assert(userKeys.distinct.length == userKeys.length)
+  }
+
   test("streaming multi-sink fan-out converges per sink (unordered epochs)") {
     import graft.cdc.MultiSinkPipeline
     import graft.routing.RouteConfig
