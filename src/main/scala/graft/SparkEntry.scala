@@ -59,6 +59,9 @@ object SparkEntry {
     "cdc_dedup_latest" -> ((s, d) => CdcQueries.dedupLatest(s, d)),
     "cdc_dedup_salted" -> ((s, d) => CdcQueries.dedupSalted(s, d)),
     "cdc_final_state" -> ((s, d) => CdcQueries.finalState(s, d)),
+    // same replay through the merge-on-read write path (deltas + mid-replay
+    // fold + mixed-layout read) — must hash-match the identical oracle
+    "cdc_final_state_mor" -> ((s, d) => CdcQueries.finalStateMor(s, d)),
     "cdc_time_slice" -> ((s, d) => CdcQueries.timeSlice(s, d)),
     "cdc_hwm_anti" -> ((s, d) => CdcQueries.hwmAntiJoin(s, d)),
     "cdc_route_dsl" -> ((s, d) => CdcQueries.routeDsl(s, d)),
@@ -126,6 +129,12 @@ object SparkEntry {
          |FROM d WHERE rn = 1 ORDER BY conv_id, turn_idx""".stripMargin,
 
     "cdc_final_state" ->
+      s"""WITH ch AS ($changesSql),
+         |d AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn FROM ch)
+         |SELECT conv_id, turn_idx, role, text, tool, ts_ms
+         |FROM d WHERE rn = 1 AND op <> 'D' ORDER BY conv_id, turn_idx""".stripMargin,
+
+    "cdc_final_state_mor" ->
       s"""WITH ch AS ($changesSql),
          |d AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn FROM ch)
          |SELECT conv_id, turn_idx, role, text, tool, ts_ms

@@ -60,7 +60,16 @@ case class PipelineConfig(
       * <tableRoot>/metrics (the reference's /surosinkstat surface,
       * SinkStat.java:29-41, as an append-only queryable ledger).
       */
-    recordMetrics: Boolean = false)
+    recordMetrics: Boolean = false,
+    /** Merge-on-read writes: each batch lands as DELTA files (O(batch)
+      * write IO, no table reads) and reads LWW-merge base+deltas until the
+      * periodic maintenance compaction folds them — the write-optimized arm
+      * of the LSM trade for update-heavy replays (see
+      * [[graft.ops.MergeInto]]); copy-on-write (default) stays the
+      * read-optimized arm. Pair with `maintenanceEveryBatches` to bound
+      * read amplification.
+      */
+    mergeOnRead: Boolean = false)
 
 /** The CDC micro-batch driver: binlog segment dirs -> dedup -> MERGE ->
   * snapshot commit, resumable from the table's own commit ledger.
@@ -205,7 +214,8 @@ class CdcPipeline(val cfg: PipelineConfig) {
         val r = MergeInto(spark, table,
           route(spark, raw, next), batchKey(next),
           source = slice.mkString(","), saltBuckets = cfg.saltBuckets,
-          cursor = Some(cfg.sourceId -> slice.map(segNum).max))
+          cursor = Some(cfg.sourceId -> slice.map(segNum).max),
+          mergeOnRead = cfg.mergeOnRead)
         if (cfg.adaptiveBatching)
           dynamicSpb = nextBatchSize(slice.size,
             (System.nanoTime() - t0) / 1e9, cfg.targetBatchSec,
@@ -223,7 +233,14 @@ class CdcPipeline(val cfg: PipelineConfig) {
   private def maybeMaintain(spark: SparkSession, applied: Int): Unit =
     if (cfg.maintenanceEveryBatches > 0 &&
         applied % cfg.maintenanceEveryBatches == 0) {
-      val r = graft.ops.Compaction(spark, table, cfg.compactMaxFilesPerBucket)
+      // MOR tombstones may be GC'd up to the high-water mark when this
+      // drain is the table's sole writer: every future ordered batch is
+      // HWM-filtered strictly past it, so no redelivery at-or-below the
+      // horizon can ever need masking again
+      val horizon =
+        if (cfg.mergeOnRead) table.loadCurrent().hwmLsn else Long.MinValue
+      val r = graft.ops.Compaction(spark, table, cfg.compactMaxFilesPerBucket,
+        tombstoneHorizonLsn = horizon)
       val (expired, deleted) = table.expireSnapshots(cfg.retainSnapshots)
       table.gcOrphans()
       if (verbose) println(s"[cdc] maintenance: compacted ${r.compactedBuckets} " +
@@ -311,7 +328,7 @@ class CdcPipeline(val cfg: PipelineConfig) {
         val r = MergeInto(spark, table, readBatch(spark, curSlice), batchKey(next),
           source = curSlice.mkString(","), saltBuckets = cfg.saltBuckets,
           cursor = Some(cfg.sourceId -> curSlice.map(segNum).max),
-          prepared = Some(prepared))
+          prepared = Some(prepared), mergeOnRead = cfg.mergeOnRead)
         val applySec = (System.nanoTime() - t0) / 1e9
         if (cfg.adaptiveBatching)
           dynamicSpb = nextBatchSize(curSlice.size, applySec,
@@ -407,7 +424,7 @@ class CdcPipeline(val cfg: PipelineConfig) {
         val t0 = System.nanoTime()
         val r = MergeInto(batch.sparkSession, table, batch, s"${cfg.sourceId}-ss#$id",
           source = s"stream-epoch-$id", saltBuckets = cfg.saltBuckets,
-          orderedSource = false)
+          orderedSource = false, mergeOnRead = cfg.mergeOnRead)
         val sec = (System.nanoTime() - t0) / 1e9
         epochSecs.add(sec)
         recordMetric(r, sec, "stream")

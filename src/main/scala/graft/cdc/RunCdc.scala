@@ -47,11 +47,14 @@ object RunCdc {
       println(s"generated ${cfg.numEvents} events in ${cfg.numSegments} segments at $dir")
 
     case "run" =>
+      // GRAFT_MOR=1: merge-on-read writes (delta files, read-time LWW;
+      // fold with `compact` or maintenanceEveryBatches)
       val p = new CdcPipeline(PipelineConfig(args(1), args(2),
         segmentsPerBatch = if (args.length > 3) args(3).toInt else 4,
         numBuckets = if (args.length > 4) args(4).toInt else 16,
         saltBuckets = if (args.length > 5) args(5).toInt else 0,
-        routeFilterFile = if (args.length > 6) Some(args(6)) else None))
+        routeFilterFile = if (args.length > 6) Some(args(6)) else None,
+        mergeOnRead = sys.env.get("GRAFT_MOR").contains("1")))
       p.verbose = true
       graft.ops.MergeInto.profile = sys.env.get("GRAFT_PROFILE").contains("1")
       val t0 = System.nanoTime()
@@ -99,7 +102,8 @@ object RunCdc {
       // bucket manifest is opened (metadata-only, O(buckets))
       s.manifestList.sortBy(_.bucket).foreach { m =>
         println(f"  bucket=${m.bucket}%-4d files=${m.numFiles}%-4d rows=${m.rows}%-8d " +
-          s"keys=[${m.minKey} .. ${m.maxKey}]")
+          s"keys=[${m.minKey} .. ${m.maxKey}]" +
+          (if (m.deltaFiles > 0) s" deltas=${m.deltaFiles}" else ""))
       }
 
     // expire <tableRoot> [keepLast]: snapshot retention (Iceberg's
@@ -120,7 +124,7 @@ object RunCdc {
           if (args.length > 3) args(3).toLong else Long.MinValue)
       println(s"compacted ${r.compactedBuckets} buckets: " +
         s"${r.removedFiles} files -> ${r.addedFiles}, " +
-        s"dropped ${r.droppedTombstones} tombstones; now v${r.snapshot.version}")
+        s"dropped ${r.droppedRows} superseded/tombstone rows; now v${r.snapshot.version}")
 
     // route <binlogDir> <routesJsonFile> <outDir>: fan the change stream out
     // to per-sink parquet dirs (outDir/__sink=<name>/) through the filter

@@ -27,23 +27,38 @@ object Compaction {
       compactedBuckets: Int,
       removedFiles: Int,
       addedFiles: Int,
-      droppedTombstones: Long)
+      /** Rows removed by the rewrite: horizon-GC'd tombstones plus — when
+        * merge-on-read deltas were folded — superseded key versions the
+        * LWW merge collapsed.
+        */
+      droppedRows: Long)
 
   def apply(spark: SparkSession, table: ChronicleTable,
       maxFilesPerBucket: Int = 4,
       tombstoneHorizonLsn: Long = Long.MinValue): CompactionResult = {
     val base = table.loadCurrent()
     val byBucket = table.filesOf(base).groupBy(_.bucket)
-    val targets = byBucket.filter(_._2.size > maxFilesPerBucket)
+    // a bucket holding ANY merge-on-read delta is always a target: folding
+    // deltas back into key-unique base files is what bounds the read-time
+    // merge cost of the MOR write path
+    val targets = byBucket.filter { case (_, fs) =>
+      fs.size > maxFilesPerBucket || fs.exists(_.delta)
+    }
     if (targets.isEmpty)
       return CompactionResult(base, 0, 0, 0, 0)
 
     val schema = base.schema
     val victims = targets.values.flatten.toSeq
     val src = spark.read.schema(schema).parquet(victims.map(_.path): _*)
+    // LWW-collapse base+delta versions per key BEFORE the tombstone horizon
+    // filter: dropping an old tombstone pre-merge would let the even-older
+    // base row it masks win the merge and resurrect a deleted key
+    val merged =
+      if (victims.exists(_.delta)) ChronicleTable.mergeDeltas(src, schema)
+      else src
     val horizonDrop = col(Model.deletedColumn) &&
       col(Model.lsnColumn) <= lit(tombstoneHorizonLsn)
-    val kept = src.filter(!horizonDrop)
+    val kept = merged.filter(!horizonDrop)
 
     val staging = table.newStagingDir()
     // hash-repartition by bucket (not by range): with partitionBy splitting

@@ -144,7 +144,20 @@ object MergeInto {
       batchKey: String, source: String, saltBuckets: Int = 0,
       orderedSource: Boolean = true,
       cursor: Option[(String, Long)] = None,
-      prepared: Option[DataFrame] = None): MergeResult = {
+      prepared: Option[DataFrame] = None,
+      /** Merge-on-read mode: the batch's winners (upserts AND delete
+        * tombstones) are written as DELTA files overlaying the table —
+        * write IO is O(batch) with NO table reads, where copy-on-write
+        * reads and rewrites every touched file. Readers pay a per-key LWW
+        * merge ([[ChronicleTable.mergeDeltas]]) until compaction folds the
+        * deltas into base files; the per-key `_lsn` comparison that the
+        * CoW guard join performs at write time happens there at read time,
+        * so unordered sources need no guard scan either. The
+        * write-amplification arm of the LSM trade — right when batches are
+        * small relative to the touched working set (the 100 TB steady
+        * state); CoW stays right when reads dominate commits.
+        */
+      mergeOnRead: Boolean = false): MergeResult = {
     val base = table.loadCurrent()
     if (ChronicleTable.isCommitted(base, batchKey)) {
       // Exactly-once: replay of an already-applied batch is a no-op.
@@ -201,10 +214,58 @@ object MergeInto {
       val maxKey = stats.getAs[String]("maxKey")
       val buckets = stats.getSeq[Int](stats.fieldIndex("buckets")).toSet
 
+      // hash-split sorted write of the new files + distributed footer stats
+      // (shared by both modes)
+      def writeStaged(newData: DataFrame): Seq[DataFileMeta] = {
+        val staging = table.newStagingDir()
+        val parts = math.max(1, math.min(
+          spark.conf.get("spark.sql.shuffle.partitions").toInt, buckets.size * 4))
+        val splitsPerBucket = math.max(1, parts / math.max(1, buckets.size))
+        tick("write")(withMicrosTimestamps(spark)(newData
+          .withColumn("bucket", ChronicleTable.bucketExpr("conv_id", base.numBuckets))
+          .withColumn("__split",
+            pmod(xxhash64(col("conv_id"), lit(1)), lit(splitsPerBucket)))
+          .repartition(parts, col("bucket"), col("__split"))
+          .drop("__split")
+          .sortWithinPartitions("bucket", "conv_id", "turn_idx")
+          .write.partitionBy("bucket").mode("overwrite").parquet(staging)))
+        tick("stats-job")(collectFileStats(spark, staging))
+      }
+
+      def commitFiles(removed: Seq[String], added: Seq[DataFileMeta]): Snapshot = {
+        val lineage = LineageEntry(batchKey, source,
+          stats.getAs[Long]("minLsn"), stats.getAs[Long]("maxLsn"),
+          n - deletes, deletes, added.map(_.rows).sum,
+          stats.getAs[Long]("checksum"),
+          added.groupBy(_.bucket.toString).map { case (b, fs) => b -> fs.map(_.rows).sum },
+          -1L)
+        val pending = PendingCommit(batchKey, removed, added,
+          if (evolved) Some(physicalSchema) else None, lineage, cursor)
+        tick("commit")(table.commit(base, pending))
+      }
+
+      if (mergeOnRead) {
+        // --- merge-on-read: the batch IS the write — no table reads --------
+        // Tombstones persist unconditionally (ordered or not): read-time
+        // LWW needs them to mask the base rows they delete.
+        val deltaRows = conform(
+          deduped
+            .withColumn(Model.lsnColumn, col(Model.ordColumn))
+            .withColumn(Model.deletedColumn, col("op") === "D"),
+          physicalSchema)
+        val added = writeStaged(deltaRows).map(_.copy(delta = true))
+        val next = commitFiles(Nil, added)
+        return MergeResult(next, skipped = false, n - deletes, deletes, 0, added.size)
+      }
+
       // --- metadata-only file pruning --------------------------------------
       val touched = table.pruneFiles(base, buckets, minKey, maxKey)
       val touchedPaths = touched.map(_.path)
       val touchedRows = touched.map(_.rows).sum
+      // Touched delta files fold into this rewrite: a key may then appear
+      // several times across the touched set (base + newer delta versions),
+      // so the guard and survivor scans must LWW-collapse it first.
+      val touchedHasDeltas = touched.exists(_.delta)
 
       // Broadcast the batch-key side only when the table side dwarfs it:
       // building a broadcast hash relation is SERIAL driver work (collect +
@@ -223,10 +284,14 @@ object MergeInto {
         else {
           val keyLsnSchema = StructType(physicalSchema.fields.filter(f =>
             Model.keyColumns.contains(f.name) || f.name == Model.lsnColumn))
+          // max per key: exact in pure-CoW (keys unique across base files,
+          // the agg is a no-op) and REQUIRED once touched deltas can carry
+          // several versions of one key
           val contested = spark.read.schema(keyLsnSchema).parquet(touchedPaths: _*)
             .join(maybeBroadcast(deduped.select(Model.keyColumns.map(col): _*)),
               Model.keyColumns, "left_semi")
-            .withColumnRenamed(Model.lsnColumn, "__existing_lsn")
+            .groupBy(Model.keyColumns.map(col): _*)
+            .agg(max(col(Model.lsnColumn)).as("__existing_lsn"))
           // contested is at most batch-sized, which a bulk unordered backfill
           // can push past the broadcast cutoff — gate it like every other
           // batch-derived side (AQE falls back to a shuffled join).
@@ -240,9 +305,16 @@ object MergeInto {
       val winnerKeys = winners.select(Model.keyColumns.map(col): _*)
       val survivors: Option[DataFrame] =
         if (touched.isEmpty) None
-        else Some(
-          spark.read.schema(physicalSchema).parquet(touchedPaths: _*)
-            .join(maybeBroadcast(winnerKeys), Model.keyColumns, "left_anti"))
+        else {
+          val scan = spark.read.schema(physicalSchema).parquet(touchedPaths: _*)
+          // collapse base+delta versions of a key before the rewrite — the
+          // new base files must be key-unique (pure-CoW scans already are,
+          // and skip the aggregate)
+          val collapsed =
+            if (touchedHasDeltas) ChronicleTable.mergeDeltas(scan, physicalSchema)
+            else scan
+          Some(collapsed.join(maybeBroadcast(winnerKeys), Model.keyColumns, "left_anti"))
+        }
 
       // Winning deletes persist as tombstones (payload nulled), so a later
       // redelivery of an older change for the key loses the LSN comparison
@@ -266,30 +338,8 @@ object MergeInto {
       // the touched data. The deterministic hash split keeps hot buckets
       // from serializing into one writer; files stay sorted by key so
       // row-group stats and the footer min/max remain useful.
-      val staging = table.newStagingDir()
-      val parts = math.max(1, math.min(
-        spark.conf.get("spark.sql.shuffle.partitions").toInt, buckets.size * 4))
-      val splitsPerBucket = math.max(1, parts / math.max(1, buckets.size))
-      tick("write")(withMicrosTimestamps(spark)(newData
-        .withColumn("bucket", ChronicleTable.bucketExpr("conv_id", base.numBuckets))
-        .withColumn("__split",
-          pmod(xxhash64(col("conv_id"), lit(1)), lit(splitsPerBucket)))
-        .repartition(parts, col("bucket"), col("__split"))
-        .drop("__split")
-        .sortWithinPartitions("bucket", "conv_id", "turn_idx")
-        .write.partitionBy("bucket").mode("overwrite").parquet(staging)))
-
-      val added = tick("stats-job")(collectFileStats(spark, staging))
-
-      val lineage = LineageEntry(batchKey, source,
-        stats.getAs[Long]("minLsn"), stats.getAs[Long]("maxLsn"),
-        n - deletes, deletes, added.map(_.rows).sum,
-        stats.getAs[Long]("checksum"),
-        added.groupBy(_.bucket.toString).map { case (b, fs) => b -> fs.map(_.rows).sum },
-        -1L)
-      val pending = PendingCommit(batchKey, touchedPaths, added,
-        if (evolved) Some(physicalSchema) else None, lineage, cursor)
-      val next = tick("commit")(table.commit(base, pending))
+      val added = writeStaged(newData)
+      val next = commitFiles(touchedPaths, added)
       MergeResult(next, skipped = false, n - deletes, deletes, touched.size, added.size)
     } finally dedupedAll.unpersist()
   }

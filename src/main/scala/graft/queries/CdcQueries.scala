@@ -109,6 +109,39 @@ object CdcQueries {
         .drop(Model.lsnColumn, Model.deletedColumn))
       .orderBy("conv_id", "turn_idx")
 
+  /** The same engine replay through the MERGE-ON-READ write path: batches
+    * land as delta files, a mid-replay compaction folds the first half into
+    * base files, and the final read LWW-merges base + trailing deltas —
+    * exercising overlay, fold, and mixed-layout read against the identical
+    * oracle as [[finalState]] (the mode changes IO, never results).
+    */
+  def finalStateMor(spark: SparkSession, dir: String, numBatches: Int = 4): DataFrame = {
+    val root = replayCache.getOrElseUpdate((dir, -numBatches), {
+      val ch = changes(spark, dir).cache()
+      try {
+        val maxLsn = ch.agg(max("lsn")).collect()(0).getLong(0)
+        val step = maxLsn / numBatches + 1
+        val r = java.nio.file.Files
+          .createTempDirectory("graft-finalstate-mor").toString
+        val table = new ChronicleTable(r)
+        table.create(graft.model.Model.physicalSchemaV1, numBuckets = 8)
+        (0 until numBatches).foreach { b =>
+          val batch = ch.filter(col("lsn") >= b * step && col("lsn") < (b + 1) * step)
+          MergeInto(spark, table, batch, s"fsm#$b", s"lsn-range-$b",
+            mergeOnRead = true)
+          if (b == numBatches / 2 - 1) // fold the first half into base files
+            graft.ops.Compaction(spark, table, maxFilesPerBucket = 0)
+        }
+        r
+      } finally ch.unpersist()
+    })
+    withMs(
+      new ChronicleTable(root).read(spark)
+        .filter(!col(Model.deletedColumn))
+        .drop(Model.lsnColumn, Model.deletedColumn))
+      .orderBy("conv_id", "turn_idx")
+  }
+
   /** One-week time-sliced read of the replayed table: manifest-level ts
     * pruning (pruneFilesByTime) keeps untouched days' files off the scan
     * entirely, then the residual predicate exacts the bounds — the table's

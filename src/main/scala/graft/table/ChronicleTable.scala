@@ -31,7 +31,16 @@ case class DataFileMeta(
       * (0, 0) = stats unknown (pre-upgrade manifest) → never pruned.
       */
     minTsMs: Long = 0L,
-    maxTsMs: Long = 0L)
+    maxTsMs: Long = 0L,
+    /** Merge-on-read DELTA file: rows here OVERLAY the bucket's base files
+      * (and earlier deltas) per key under last-writer-wins on `_lsn`, with
+      * `_deleted` tombstones masking base rows. A merge in MOR mode writes
+      * only its batch as deltas — O(batch) write IO instead of copy-on-
+      * write's O(touched files) rewrite — and compaction folds deltas back
+      * into unique-key base files. False (absent in pre-MOR manifests) =
+      * base file: keys unique across the bucket's base files.
+      */
+    delta: Boolean = false)
 
 /** Summary of one per-bucket manifest file in the snapshot's manifest LIST:
   * enough metadata (bucket, aggregate key/time bounds, counts) to prune the
@@ -52,7 +61,11 @@ case class ManifestMeta(
       * conservatively kept by time pruning.
       */
     minTsMs: Long,
-    maxTsMs: Long)
+    maxTsMs: Long,
+    /** Number of merge-on-read delta files in the manifest (0 = pure base:
+      * the bucket reads as a plain scan, no read-time merge needed).
+      */
+    deltaFiles: Int = 0)
 
 /** On-disk content of one per-bucket manifest file. Manifest files are
   * immutable and uuid-named: a commit writes NEW manifests for the buckets
@@ -312,7 +325,8 @@ class ChronicleTable(val root: String) {
     ManifestMeta(p, bucket, files.size, files.map(_.rows).sum,
       files.map(_.minKey).min, files.map(_.maxKey).max,
       if (statless) 0L else files.map(_.minTsMs).min,
-      if (statless) 0L else files.map(_.maxTsMs).max)
+      if (statless) 0L else files.map(_.maxTsMs).max,
+      deltaFiles = files.count(_.delta))
   }
 
   /** Test hook: invoked after data files are durable but before the snapshot
@@ -450,11 +464,24 @@ class ChronicleTable(val root: String) {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Does the snapshot carry merge-on-read delta files (decidable from the
+    * manifest LIST alone — no manifest opens)?
+    */
+  def hasDeltas(snapshot: Snapshot): Boolean =
+    snapshot.manifestList.exists(_.deltaFiles > 0)
+
   /** Read a snapshot as a DataFrame. Missing columns in older files (written
     * before a schema evolution) surface as nulls: the reader is driven by
     * the snapshot schema, not the file schemas (Iceberg-style schema-on-read;
     * the reference's implicit new-JSON-field appearance, SURVEY.md §1.3,
     * made explicit).
+    *
+    * A snapshot with merge-on-read delta files reads through a per-key
+    * last-writer-wins merge on `_lsn` (one hash aggregate — the same LWW the
+    * write path applies, deferred to read): base rows a newer delta displaces
+    * disappear, `_deleted` tombstone winners stay visible so callers'
+    * `!_deleted` filter hides them. Delta-free snapshots keep the plain
+    * one-scan plan — reads pay the merge only between compactions.
     */
   def read(spark: SparkSession, snapshot: Snapshot): DataFrame = {
     val schema = snapshot.schema
@@ -462,7 +489,8 @@ class ChronicleTable(val root: String) {
     if (files.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else {
-      spark.read.schema(schema).parquet(files.map(_.path): _*)
+      val scan = spark.read.schema(schema).parquet(files.map(_.path): _*)
+      if (files.exists(_.delta)) mergeDeltas(scan, schema) else scan
     }
   }
 
@@ -504,9 +532,16 @@ class ChronicleTable(val root: String) {
   /** Time-sliced read: lists/scans ONLY the files whose ts bounds intersect
     * the range (manifest-level pruning — untouched days' files never reach
     * the scan), then applies the exact residual predicate.
+    *
+    * With merge-on-read deltas present, file-level ts pruning is unsound
+    * (a pruned-out delta could carry a newer version or tombstone of a row
+    * inside the slice), so the slice falls back to the merged full read
+    * plus the residual predicate — compaction restores the pruned plan.
     */
   def readSlice(spark: SparkSession, fromMs: Long, toMs: Long): DataFrame = {
     val snap = loadCurrent()
+    val residual = unix_millis(col("ts")).between(fromMs, toMs)
+    if (hasDeltas(snap)) return read(spark, snap).filter(residual)
     val files = pruneFilesByTime(snap, fromMs, toMs)
     val schema = snap.schema
     val base =
@@ -514,7 +549,7 @@ class ChronicleTable(val root: String) {
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else spark.read.schema(schema).parquet(files.map(_.path): _*)
-    base.filter(unix_millis(col("ts")).between(fromMs, toMs))
+    base.filter(residual)
   }
 
   /** The complete lineage ledger: every commit's entry across all
@@ -637,4 +672,21 @@ object ChronicleTable {
     */
   def bucketExpr(keyCol: String, numBuckets: Int): org.apache.spark.sql.Column =
     pmod(xxhash64(col(keyCol)), lit(numBuckets)).cast("int")
+
+  /** Per-key last-writer-wins merge of a base+delta scan: ONE hash
+    * aggregate (`max_by` on `_lsn`, map-side partial, no sort) — the same
+    * LWW the write path applies, deferred to read. Ties (same key and lsn:
+    * one event landing in two deltas via distinct replay epochs) carry
+    * identical payloads by construction of the log, so either wins.
+    * Output column order follows `schema`.
+    */
+  def mergeDeltas(scan: DataFrame, schema: StructType): DataFrame = {
+    val keys = graft.model.Model.keyColumns
+    val ord = graft.model.Model.lsnColumn
+    val payload = schema.fieldNames.filterNot(keys.contains)
+    scan.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(payload.map(col): _*), col(ord)).as("__m"))
+      .select(schema.fieldNames.map(c =>
+        if (keys.contains(c)) col(c) else col(s"__m.$c")): _*)
+  }
 }

@@ -60,7 +60,7 @@ class TableOpsSpec extends SparkSpec {
     val state = p.currentState(spark).collect().toSeq
     val r = Compaction(spark, p.table, maxFilesPerBucket = 0,
       tombstoneHorizonLsn = Long.MaxValue)
-    assert(r.droppedTombstones == withTombs)
+    assert(r.droppedRows == withTombs)
     assert(p.table.read(spark).filter(col(graft.model.Model.deletedColumn)).count() == 0)
     assert(p.currentState(spark).collect().toSeq == state)
   }
