@@ -42,7 +42,8 @@ object RunCdc {
         segmentSize = args(4).toLong,
         evolveAtLsn = if (args.length > 5) args(5).toLong else Long.MaxValue,
         dupPct = if (args.length > 6) args(6).toInt else 1,
-        filesPerSegment = if (args.length > 7) args(7).toInt else 8)
+        filesPerSegment = if (args.length > 7) args(7).toInt else 8,
+        zipfS = if (args.length > 8) args(8).toDouble else 1.2)
       BinlogGenerator.writeSegments(spark, cfg, dir)
       println(s"generated ${cfg.numEvents} events in ${cfg.numSegments} segments at $dir")
 
@@ -58,10 +59,13 @@ object RunCdc {
       p.verbose = true
       graft.ops.MergeInto.profile = sys.env.get("GRAFT_PROFILE").contains("1")
       val t0 = System.nanoTime()
-      // GRAFT_PIPELINED=1: overlap next batch's dedup with current apply
+      // GRAFT_PIPELINED=1: overlap next batch's dedup with current apply;
+      // GRAFT_MAX_BATCHES=k: stop after k batches (partial drains for A/B
+      // phase timing)
+      val maxB = sys.env.get("GRAFT_MAX_BATCHES").map(_.toInt).getOrElse(Int.MaxValue)
       val n =
-        if (sys.env.get("GRAFT_PIPELINED").contains("1")) p.runAllPipelined(spark)
-        else p.runAll(spark)
+        if (sys.env.get("GRAFT_PIPELINED").contains("1")) p.runAllPipelined(spark, maxB)
+        else p.runAll(spark, maxB)
       val sec = (System.nanoTime() - t0) / 1e9
       val snap = p.table.loadCurrent()
       println(f"applied $n batches in $sec%.1fs; snapshot v${snap.version} " +
