@@ -63,6 +63,8 @@ object SparkEntry {
     // fold + mixed-layout read) — must hash-match the identical oracle
     "cdc_final_state_mor" -> ((s, d) => CdcQueries.finalStateMor(s, d)),
     "cdc_time_slice" -> ((s, d) => CdcQueries.timeSlice(s, d)),
+    "cdc_incremental" -> ((s, d) => CdcQueries.incrementalChanges(s, d)),
+    "cdc_scd2" -> ((s, d) => CdcQueries.scd2(s, d)),
     "cdc_hwm_anti" -> ((s, d) => CdcQueries.hwmAntiJoin(s, d)),
     "cdc_route_dsl" -> ((s, d) => CdcQueries.routeDsl(s, d)),
     "cdc_quarantine" -> ((s, d) => CdcQueries.quarantine(s, d)),
@@ -147,6 +149,23 @@ object SparkEntry {
          |FROM d WHERE rn = 1 AND op <> 'D'
          |  AND ts_ms BETWEEN ${CdcQueries.sliceFromMs} AND ${CdcQueries.sliceToMs}
          |ORDER BY conv_id, turn_idx""".stripMargin,
+
+    "cdc_incremental" ->
+      s"""WITH ch AS ($changesSql),
+         |d AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn FROM ch),
+         |hwm AS (SELECT max(lsn) AS h FROM ch
+         |        WHERE lsn < 2 * ((SELECT max(lsn) FROM ch) // 4 + 1))
+         |SELECT conv_id, turn_idx, role, text, tool, ts_ms
+         |FROM d WHERE rn = 1 AND op <> 'D' AND lsn > (SELECT h FROM hwm)
+         |ORDER BY conv_id, turn_idx""".stripMargin,
+
+    "cdc_scd2" ->
+      s"""WITH ch AS ($changesSql),
+         |v AS (SELECT *, lead(lsn) OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn) - 1 AS valid_to_lsn FROM ch)
+         |SELECT lsn AS valid_from_lsn, conv_id, turn_idx, role, text, tool, ts_ms,
+         |       valid_to_lsn, (valid_to_lsn IS NULL) AS is_current
+         |FROM v WHERE op <> 'D'
+         |ORDER BY conv_id, turn_idx, valid_from_lsn""".stripMargin,
 
     "cdc_hwm_anti" ->
       s"""WITH ch AS ($changesSql)

@@ -92,6 +92,17 @@ object RunCdc {
       val p = new CdcPipeline(PipelineConfig("", args(1)))
       p.lineage(spark).show(100, truncate = false)
 
+    // changes <tableRoot> <sinceVersion>: incremental changelog read — the
+    // net row changes since a retained snapshot (downstream-stage tailing;
+    // the reference's SuroSink chaining, SuroSink.java:15-38)
+    case "changes" =>
+      val table = new graft.table.ChronicleTable(args(1))
+      val df = table.readChanges(spark, args(2).toLong)
+      println(s"rows=${df.count()} since v${args(2)} " +
+        s"(hwm ${table.loadVersion(args(2).toLong).hwmLsn} -> " +
+        s"${table.loadCurrent().hwmLsn})")
+      df.orderBy("conv_id", "turn_idx").show(20, truncate = false)
+
     // stats <tableRoot>: operational metrics of the current snapshot (the
     // reference's /surosinkstat REST surface, SinkStat.java:29-41, as a
     // metadata-only report)

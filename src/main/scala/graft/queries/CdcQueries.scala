@@ -142,6 +142,39 @@ object CdcQueries {
       .orderBy("conv_id", "turn_idx")
   }
 
+  /** Incremental changelog read of the replayed table: the net row changes
+    * applied after snapshot v2 of the 4-batch replay (the downstream-stage
+    * tailing primitive — [[ChronicleTable.readChanges]]; the reference's
+    * SuroSink pipeline chaining, SuroSink.java:15-38). Oracle: final-state
+    * rows whose winning lsn exceeds the max lsn of the first two LSN-range
+    * batches.
+    */
+  def incrementalChanges(spark: SparkSession, dir: String): DataFrame =
+    withMs(
+      replayTable(spark, dir).readChanges(spark, sinceVersion = 2L)
+        .filter(!col(Model.deletedColumn))
+        .drop(Model.lsnColumn, Model.deletedColumn))
+      .orderBy("conv_id", "turn_idx")
+
+  /** SCD type-2 history: every key's version chain with LSN validity
+    * ranges — each I/U change opens a version valid [lsn, next change's
+    * lsn); a delete closes the chain without opening one; the open version
+    * is flagged current. The standard lakehouse shape for "what did this
+    * row look like when" over a CDC stream, expressed as one window pass
+    * (lead over the per-key change sequence).
+    */
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(Model.keyColumns.map(col): _*).orderBy(col("lsn"))
+    withMs(changes(spark, dir)
+      .withColumn("valid_to_lsn", lead(col("lsn"), 1).over(w) - 1)
+      .filter(col("op") =!= "D")
+      .withColumn("is_current", col("valid_to_lsn").isNull)
+      .withColumnRenamed("lsn", "valid_from_lsn")
+      .drop("op"))
+      .orderBy("conv_id", "turn_idx", "valid_from_lsn")
+  }
+
   /** One-week time-sliced read of the replayed table: manifest-level ts
     * pruning (pruneFilesByTime) keeps untouched days' files off the scan
     * entirely, then the residual predicate exacts the bounds — the table's

@@ -552,6 +552,29 @@ class ChronicleTable(val root: String) {
     base.filter(residual)
   }
 
+  /** Incremental (changelog) read: the NET row changes applied after
+    * snapshot `sinceVersion` (exclusive) up to the current snapshot — every
+    * current row whose `_lsn` exceeds the since-snapshot's high-water mark.
+    * This is how a downstream pipeline stage tails this table instead of
+    * re-reading it (the reference chains suro servers via SuroSink,
+    * SuroClient.java / SuroSink.java:15-38; Iceberg calls it an incremental
+    * scan): each row carries the LSN that wrote it, so the filter is exact
+    * and rides parquet column stats (files are written sorted, and a fresh
+    * batch's files carry tight `_lsn` ranges).
+    *
+    * Semantics are NET changes at read time: a key updated twice since
+    * `sinceVersion` appears once with its latest version. Deletes appear as
+    * `_deleted` tombstone rows where the table retains them (merge-on-read
+    * mode, or unordered CoW); the ordered CoW path erases deleted rows
+    * physically, so its changelog carries upserts only. `sinceVersion` must
+    * still be retained (expiry makes older cursors unreadable, with a clear
+    * error).
+    */
+  def readChanges(spark: SparkSession, sinceVersion: Long): DataFrame = {
+    val since = loadVersion(sinceVersion)
+    read(spark).filter(col(graft.model.Model.lsnColumn) > since.hwmLsn)
+  }
+
   /** The complete lineage ledger: every commit's entry across all
     * RETAINED snapshot versions, in commit order (expiry drops the history
     * of expired versions along with their manifests).

@@ -41,6 +41,46 @@ class TableOpsSpec extends SparkSpec {
     assert(r2.compactedBuckets == 0)
   }
 
+  test("incremental changelog read returns the net changes since a snapshot") {
+    val cfg = BinlogConfig(numEvents = 1200, numConversations = 10,
+      segmentSize = 200, dupPct = 5, pDelete = 0.2)
+    val src = tmpDir("binlog-incr")
+    BinlogGenerator.writeSegments(spark, cfg, src)
+
+    // CoW (ordered): changelog carries upserts — exactly the current rows
+    // whose winning lsn is past the since-snapshot's high-water mark
+    val p = new CdcPipeline(PipelineConfig(src, tmpDir("table-incr"),
+      segmentsPerBatch = 2, numBuckets = 2))
+    p.runAll(spark)
+    val sinceV = 2L
+    val hwm = p.table.loadVersion(sinceV).hwmLsn
+    val changed = p.table.readChanges(spark, sinceV)
+    val expect = p.table.read(spark)
+      .filter(col(graft.model.Model.lsnColumn) > hwm)
+      .select("conv_id", "turn_idx").collect().toSet
+    assert(changed.select("conv_id", "turn_idx").collect().toSet == expect)
+    assert(changed.count() > 0 && changed.count() < p.table.read(spark).count())
+    // every changelog row's lsn is strictly past the cursor
+    assert(changed.agg(min(col(graft.model.Model.lsnColumn))).collect()(0)
+      .getLong(0) > hwm)
+
+    // MOR: tombstones surface in the changelog (delete visibility), and the
+    // net-change semantics hold through the read-time merge
+    val m = new CdcPipeline(PipelineConfig(src, tmpDir("table-incr-mor"),
+      segmentsPerBatch = 2, numBuckets = 2, mergeOnRead = true))
+    m.runAll(spark)
+    val mc = m.table.readChanges(spark, sinceV)
+    assert(mc.filter(col(graft.model.Model.deletedColumn)).count() > 0,
+      "MOR changelog must carry delete tombstones")
+    // live net changes agree with the CoW changelog
+    assert(mc.filter(!col(graft.model.Model.deletedColumn))
+      .select("conv_id", "turn_idx", "text").collect().toSet ==
+      changed.select("conv_id", "turn_idx", "text").collect().toSet)
+    // expired cursors fail with a clear error
+    m.table.expireSnapshots(1)
+    intercept[NoSuchElementException] { m.table.readChanges(spark, sinceV) }
+  }
+
   test("compaction GCs tombstones older than the horizon") {
     val src = tmpDir("binlog-ts")
     val tbl = tmpDir("table-ts")
