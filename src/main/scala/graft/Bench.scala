@@ -218,7 +218,11 @@ object Bench {
       // wall-clock budget (its calibration is still recorded).
       val stealCap = sys.env.getOrElse("SPARK_GRAFT_STEAL_CAP", "0.05").toDouble
       val ceilCap = sys.env.getOrElse("SPARK_GRAFT_CEIL_CAP", "0.92").toDouble
-      val maxPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
+      // 5 pairs: hi-level trials show a ~35% spread on this host even at
+      // zero recorded steal (bandwidth co-tenancy), so the best-low-steal-
+      // trial protocol needs more draws per rung; the wall-clock budget
+      // below still bounds the whole section
+      val maxPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "5").toInt
 
       def protocolEff(trials: Seq[Trial], nLo: Int): Double = {
         def best(c: Int): Option[Double] = {

@@ -233,12 +233,12 @@ class CdcPipeline(val cfg: PipelineConfig) {
   private def maybeMaintain(spark: SparkSession, applied: Int): Unit =
     if (cfg.maintenanceEveryBatches > 0 &&
         applied % cfg.maintenanceEveryBatches == 0) {
-      // MOR tombstones may be GC'd up to the high-water mark when this
-      // drain is the table's sole writer: every future ordered batch is
-      // HWM-filtered strictly past it, so no redelivery at-or-below the
-      // horizon can ever need masking again
+      // MOR tombstones may be GC'd up to THIS SOURCE's high-water mark:
+      // every future ordered batch from it is HWM-filtered strictly past
+      // the horizon, so no redelivery at-or-below it can need masking again
       val horizon =
-        if (cfg.mergeOnRead) table.loadCurrent().hwmLsn else Long.MinValue
+        if (cfg.mergeOnRead) table.loadCurrent().hwmFor(cfg.sourceId)
+        else Long.MinValue
       val r = graft.ops.Compaction(spark, table, cfg.compactMaxFilesPerBucket,
         tombstoneHorizonLsn = horizon)
       val (expired, deleted) = table.expireSnapshots(cfg.retainSnapshots)

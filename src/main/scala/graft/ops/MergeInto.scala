@@ -187,20 +187,27 @@ object MergeInto {
     // (this ordering is what lets `prepare` run table-independently; it
     // also keeps a late redelivery of a pre-delete insert from winning:
     // its LSN cannot exceed the hwm that covered the delete).
+    // The mark is PER SOURCE (batch-key prefix): LSN sequences of distinct
+    // sources (Kafka partitions, binlog shards) are independent, so a
+    // global mark would silently drop a second source whose sequence runs
+    // below the first's.
     val deduped =
-      if (orderedSource) dedupedAll.filter(col(Model.ordColumn) > lit(base.hwmLsn))
+      if (orderedSource)
+        dedupedAll.filter(col(Model.ordColumn) >
+          lit(base.hwmFor(batchKey.takeWhile(_ != '#'))))
       else dedupedAll
 
     try {
-      // --- one metadata pass over the (small) deduped batch ---------------
+      // --- slim metadata pass over the (small) deduped batch ---------------
+      // ONLY what write planning needs (key range, bucket set, row count):
+      // reads two columns off the cached dedup result. The expensive
+      // lineage stats (LSN range, delete count, payload checksum over the
+      // full text column) ride the WRITE job as observed metrics instead of
+      // a second full pass — measured as the worst-scaling phase of the
+      // replay when it ran as its own aggregate.
       val stats = tick("stats")(deduped.agg(
-        min(Model.ordColumn).as("minLsn"), max(Model.ordColumn).as("maxLsn"),
         min("conv_id").as("minKey"), max("conv_id").as("maxKey"),
-        sum(when(col("op") === "D", 1L).otherwise(0L)).as("deletes"),
         count(lit(1)).as("n"),
-        coalesce(bit_xor(when(col("op") =!= "D",
-          xxhash64(col("conv_id"), col("turn_idx"), col("text")))), lit(0L))
-          .as("checksum"),
         collect_set("__bucket").as("buckets")).collect()(0))
 
       val n = stats.getAs[Long]("n")
@@ -209,10 +216,26 @@ object MergeInto {
         val next = table.commit(base, PendingCommit(batchKey, Nil, Nil, None, lineage, cursor))
         return MergeResult(next, skipped = false, 0, 0, 0, 0)
       }
-      val deletes = stats.getAs[Long]("deletes")
       val minKey = stats.getAs[String]("minKey")
       val maxKey = stats.getAs[String]("maxKey")
       val buckets = stats.getSeq[Int](stats.fieldIndex("buckets")).toSet
+
+      // Lineage metrics collected by the write job. The CollectMetrics
+      // node must sit on a branch the write plan executes EXACTLY ONCE
+      // (the upsert side of the union, below the ordered-mode tombstone
+      // drop) — on a shared subplan like `deduped` it would execute once
+      // per branch and the bit_xor checksum would self-cancel.
+      val obs = org.apache.spark.sql.Observation()
+      def observed(rows: DataFrame): DataFrame = rows.observe(obs,
+        coalesce(min(col(Model.ordColumn)), lit(-1L)).as("minLsn"),
+        coalesce(max(col(Model.ordColumn)), lit(-1L)).as("maxLsn"),
+        coalesce(sum(when(col("op") === "D", 1L).otherwise(0L)), lit(0L))
+          .as("deletes"),
+        coalesce(sum(when(col("op") =!= "D", 1L).otherwise(0L)), lit(0L))
+          .as("upserts"),
+        coalesce(bit_xor(when(col("op") =!= "D",
+          xxhash64(col("conv_id"), col("turn_idx"), col("text")))), lit(0L))
+          .as("checksum"))
 
       // hash-split sorted write of the new files + distributed footer stats
       // (shared by both modes)
@@ -232,16 +255,20 @@ object MergeInto {
         tick("stats-job")(collectFileStats(spark, staging))
       }
 
-      def commitFiles(removed: Seq[String], added: Seq[DataFileMeta]): Snapshot = {
+      // (reads obs — call only after writeStaged's action completed)
+      def commitFiles(removed: Seq[String], added: Seq[DataFileMeta]): (Snapshot, Long, Long) = {
+        val m = obs.get
+        val upserts = m("upserts").asInstanceOf[Long]
+        val deletes = m("deletes").asInstanceOf[Long]
         val lineage = LineageEntry(batchKey, source,
-          stats.getAs[Long]("minLsn"), stats.getAs[Long]("maxLsn"),
-          n - deletes, deletes, added.map(_.rows).sum,
-          stats.getAs[Long]("checksum"),
+          m("minLsn").asInstanceOf[Long], m("maxLsn").asInstanceOf[Long],
+          upserts, deletes, added.map(_.rows).sum,
+          m("checksum").asInstanceOf[Long],
           added.groupBy(_.bucket.toString).map { case (b, fs) => b -> fs.map(_.rows).sum },
           -1L)
         val pending = PendingCommit(batchKey, removed, added,
           if (evolved) Some(physicalSchema) else None, lineage, cursor)
-        tick("commit")(table.commit(base, pending))
+        (tick("commit")(table.commit(base, pending)), upserts, deletes)
       }
 
       if (mergeOnRead) {
@@ -249,13 +276,13 @@ object MergeInto {
         // Tombstones persist unconditionally (ordered or not): read-time
         // LWW needs them to mask the base rows they delete.
         val deltaRows = conform(
-          deduped
+          observed(deduped
             .withColumn(Model.lsnColumn, col(Model.ordColumn))
-            .withColumn(Model.deletedColumn, col("op") === "D"),
+            .withColumn(Model.deletedColumn, col("op") === "D")),
           physicalSchema)
         val added = writeStaged(deltaRows).map(_.copy(delta = true))
-        val next = commitFiles(Nil, added)
-        return MergeResult(next, skipped = false, n - deletes, deletes, 0, added.size)
+        val (next, upserts, deletes) = commitFiles(Nil, added)
+        return MergeResult(next, skipped = false, upserts, deletes, 0, added.size)
       }
 
       // --- metadata-only file pruning --------------------------------------
@@ -320,12 +347,14 @@ object MergeInto {
       // redelivery of an older change for the key loses the LSN comparison
       // instead of resurrecting the row. An ordered source needs no
       // tombstones — the HWM filter already makes deletes final — so they
-      // are skipped there to keep the table from accreting dead rows.
-      val upsertRows = conform(
-        (if (orderedSource) winners.filter(col("op") =!= "D") else winners)
+      // are dropped there ABOVE the metrics node (the delete count and LSN
+      // range must still see them).
+      val upsertRows = conform({
+        val o = observed(winners
           .withColumn(Model.lsnColumn, col(Model.ordColumn))
-          .withColumn(Model.deletedColumn, col("op") === "D"),
-        physicalSchema)
+          .withColumn(Model.deletedColumn, col("op") === "D"))
+        if (orderedSource) o.filter(col("op") =!= "D") else o
+      }, physicalSchema)
       val newData = survivors match {
         case Some(s) => s.unionByName(upsertRows)
         case None => upsertRows
@@ -339,8 +368,8 @@ object MergeInto {
       // from serializing into one writer; files stay sorted by key so
       // row-group stats and the footer min/max remain useful.
       val added = writeStaged(newData)
-      val next = commitFiles(touchedPaths, added)
-      MergeResult(next, skipped = false, n - deletes, deletes, touched.size, added.size)
+      val (next, upserts, deletes) = commitFiles(touchedPaths, added)
+      MergeResult(next, skipped = false, upserts, deletes, touched.size, added.size)
     } finally dedupedAll.unpersist()
   }
 

@@ -118,10 +118,20 @@ case class Snapshot(
       * key — see [[ChronicleTable.isCommitted]].
       */
     ledgerFloors: Map[String, Long] = Map.empty,
-    /** High-water mark of applied LSNs (monotone; diagnostics only —
-      * correctness comes from committedBatches + last-writer-wins dedup).
+    /** High-water mark of applied LSNs (monotone) across ALL sources —
+      * diagnostics and the legacy fallback for [[hwmFor]].
       */
     hwmLsn: Long,
+    /** Per-source LSN high-water marks, keyed by batch-key prefix (the
+      * part before '#'). LSN sequences are independent PER SOURCE (Kafka
+      * partition offsets, per-shard binlog positions), so the ordered-
+      * source redelivery filter must compare against ITS source's mark — a
+      * single global mark would silently drop a second source whose
+      * sequence runs lower (the north rule's "LSN/offset high-water
+      * marks", plural, and the reference's per-input positions,
+      * InputManager.java:36-56).
+      */
+    hwmBySource: Map[String, Long] = Map.empty,
     /** Per-source consumption cursor: sourceId -> highest consumed segment
       * number. Resume slices the segment list by NUMBER past this cursor,
       * never by list index, so a committed partial trailing batch (e.g. one
@@ -147,6 +157,15 @@ case class Snapshot(
     */
   def cursors: Map[String, Long] = Snapshot.longMap(sourceCursors)
   def floors: Map[String, Long] = Snapshot.longMap(ledgerFloors)
+  def hwms: Map[String, Long] = Snapshot.longMap(hwmBySource)
+  /** This source's applied-LSN high-water mark: -1 for a source the table
+    * has never seen. Pre-upgrade manifests (field absent -> null) fall
+    * back to the global mark — those tables were single-source by
+    * construction, where the two marks coincide.
+    */
+  def hwmFor(sourcePrefix: String): Long =
+    if (hwmBySource == null) hwmLsn
+    else hwms.getOrElse(sourcePrefix, -1L)
 }
 
 object Snapshot {
@@ -402,6 +421,11 @@ class ChronicleTable(val root: String) {
     }
     val (floors, window) = ChronicleTable.compactLedger(base.floors,
       base.committedBatches + (pending.batchKey -> (base.version + 1)))
+    val srcPrefix = pending.batchKey.takeWhile(_ != '#')
+    val hwms =
+      if (pending.lineage.endLsn < 0) base.hwms
+      else base.hwms + (srcPrefix ->
+        math.max(base.hwmFor(srcPrefix), pending.lineage.endLsn))
     Snapshot(
       version = base.version + 1,
       schemaJson = pending.newSchema.map(_.json).getOrElse(base.schemaJson),
@@ -410,6 +434,7 @@ class ChronicleTable(val root: String) {
       committedBatches = window,
       ledgerFloors = floors,
       hwmLsn = math.max(base.hwmLsn, pending.lineage.endLsn),
+      hwmBySource = hwms,
       sourceCursors = base.cursors ++ pending.cursor.map { case (src, seg) =>
         src -> math.max(seg, base.cursors.getOrElse(src, -1L))
       },

@@ -141,6 +141,46 @@ class CdcPipelineSpec extends SparkSpec {
     assert(tableRows(p2) == oracleRows(cfg))
   }
 
+  test("two ordered sources with independent LSN sequences share one table (per-source HWM)") {
+    val cfgA = BinlogConfig(numEvents = 1200, numConversations = 8,
+      segmentSize = 200, dupPct = 5, pDelete = 0.2)
+    val cfgB = BinlogConfig(numEvents = 600, numConversations = 6,
+      segmentSize = 200, dupPct = 5)
+    val srcA = tmpDir("binlog-msrc-a")
+    BinlogGenerator.writeSegments(spark, cfgA, srcA)
+    // source B: an independent log whose LSN sequence starts back at 0 —
+    // entirely BELOW source A's high-water mark — over a disjoint key space
+    val rawB = tmpDir("binlog-msrc-braw")
+    val srcB = tmpDir("binlog-msrc-b")
+    BinlogGenerator.writeSegments(spark, cfgB, rawB)
+    spark.read.parquet(rawB)
+      .withColumn("conv_id",
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("b-"),
+          org.apache.spark.sql.functions.col("conv_id")))
+      .write.partitionBy("segment").mode("overwrite").parquet(srcB)
+
+    val tbl = tmpDir("table-msrc")
+    val pA = new CdcPipeline(PipelineConfig(srcA, tbl, sourceId = "srcA",
+      segmentsPerBatch = 2, numBuckets = 4))
+    pA.runAll(spark) // advances srcA's mark to 1199
+    val pB = new CdcPipeline(PipelineConfig(srcB, tbl, sourceId = "srcB",
+      segmentsPerBatch = 2, numBuckets = 4))
+    pB.runAll(spark) // every lsn here is below srcA's mark — a global HWM
+                     // would silently drop the whole source
+
+    val expect = (oracleRows(cfgA) ++ oracleRows(cfgB).map {
+      case (c, t, r, x, tool) => (s"b-$c", t, r, x, tool)
+    }).sortBy(e => (e._1, e._2))
+    assert(tableRows(pA) == expect)
+
+    // marks and cursors are per source; replays stay idempotent per source
+    val snap = pA.table.loadCurrent()
+    assert(snap.hwms("srcA") == 1199L && snap.hwms("srcB") == 599L)
+    assert(snap.cursors("srcA") == 5L && snap.cursors("srcB") == 2L)
+    assert(pA.runAll(spark) == 0 && pB.runAll(spark) == 0)
+  }
+
   test("replaying an already-committed batch is skipped (idempotent commit)") {
     val cfg = BinlogConfig(numEvents = 300, numConversations = 5, segmentSize = 100)
     val src = tmpDir("binlog-idem")
