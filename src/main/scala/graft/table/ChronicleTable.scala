@@ -721,20 +721,23 @@ object ChronicleTable {
   def bucketExpr(keyCol: String, numBuckets: Int): org.apache.spark.sql.Column =
     pmod(xxhash64(col(keyCol)), lit(numBuckets)).cast("int")
 
-  /** Per-key last-writer-wins merge of a base+delta scan: ONE hash
-    * aggregate (`max_by` on `_lsn`, map-side partial, no sort) — the same
-    * LWW the write path applies, deferred to read. Ties (same key and lsn:
-    * one event landing in two deltas via distinct replay epochs) carry
-    * identical payloads by construction of the log, so either wins.
-    * Output column order follows `schema`.
+  /** Per-key last-writer-wins merge of a base+delta scan: one shuffle by
+    * key + one reduce-side sort + row_number filter — the same plan shape
+    * the write-side dedup defaults to (Dedup.latestByKeyWindow). NOT
+    * `max_by(struct(...))`: a string-bearing struct buffer plans as
+    * SortAggregate, which sorts on BOTH sides of the exchange. Ties (same
+    * key and lsn: one event landing in two deltas via distinct replay
+    * epochs) carry identical payloads by construction of the log, so
+    * either wins. Output columns follow `schema`.
     */
   def mergeDeltas(scan: DataFrame, schema: StructType): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val keys = graft.model.Model.keyColumns
     val ord = graft.model.Model.lsnColumn
-    val payload = schema.fieldNames.filterNot(keys.contains)
-    scan.groupBy(keys.map(col): _*)
-      .agg(max_by(struct(payload.map(col): _*), col(ord)).as("__m"))
-      .select(schema.fieldNames.map(c =>
-        if (keys.contains(c)) col(c) else col(s"__m.$c")): _*)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(ord).desc)
+    scan.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+      .select(schema.fieldNames.map(col): _*)
   }
 }

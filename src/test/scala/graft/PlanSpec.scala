@@ -46,6 +46,40 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("table read plans: delta-free stays a bare scan; changelog pushes the _lsn filter") {
+    import graft.cdc.{CdcPipeline, PipelineConfig}
+    import graft.source.{BinlogConfig, BinlogGenerator}
+    val cfg = BinlogConfig(numEvents = 600, numConversations = 6, segmentSize = 200)
+    val src = tmpDir("binlog-planmor")
+    BinlogGenerator.writeSegments(spark, cfg, src)
+
+    // CoW table: read must stay a plain scan — NO merge overhead
+    val cow = new CdcPipeline(PipelineConfig(src, tmpDir("table-plancow"),
+      segmentsPerBatch = 1, numBuckets = 2))
+    cow.runAll(spark)
+    val pCow = plan(cow.table.read(spark))
+    assert(!pCow.contains("Window") && !pCow.contains("Aggregate") &&
+      !pCow.contains("Exchange"),
+      s"delta-free read lost its bare-scan plan:\n${pCow.linesIterator.take(8).mkString("\n")}")
+
+    // MOR table: read merges via ONE key shuffle + window (no SortAggregate
+    // — max_by over a string-bearing struct would sort on BOTH exchange
+    // sides; the window plan sorts once, reduce-side)
+    val mor = new CdcPipeline(PipelineConfig(src, tmpDir("table-planmor"),
+      segmentsPerBatch = 1, numBuckets = 2, mergeOnRead = true))
+    mor.runAll(spark)
+    val pMor = plan(mor.table.read(spark))
+    assert(pMor.contains("Window"), pMor.linesIterator.take(8).mkString("\n"))
+    assert(!pMor.contains("SortAggregate") && !pMor.contains("SortMergeJoin"), pMor)
+    assert("Exchange".r.findAllIn(pMor).size == 1,
+      s"MOR read should shuffle exactly once:\n${pMor.linesIterator.take(10).mkString("\n")}")
+
+    // changelog read: the _lsn cursor filter reaches the parquet scan
+    val pChg = plan(cow.table.readChanges(spark, sinceVersion = 1L))
+    assert(pChg.contains("PushedFilters") && pChg.contains("GreaterThan(_lsn"),
+      s"changelog _lsn filter not pushed:\n${pChg.linesIterator.take(8).mkString("\n")}")
+  }
+
   test("approx profile tracks the exact profile within sketch error") {
     val exact = RelationalQueries.eventProfile(spark, dir).collect()
       .map(r => r.getAs[String]("event_type") -> r).toMap
