@@ -121,6 +121,15 @@ object RunCdc {
           (if (m.deltaFiles > 0) s" deltas=${m.deltaFiles}" else ""))
       }
 
+    // rescale <tableRoot> <newNumBuckets>: full-rewrite bucket-count
+    // change (Iceberg's partition-spec evolution for our one-transform
+    // layout); folds MOR deltas in the same pass
+    case "rescale" =>
+      val table = new graft.table.ChronicleTable(args(1))
+      val r = graft.ops.Rescale(spark, table, args(2).toInt)
+      println(s"rescaled ${r.oldNumBuckets} -> ${r.newNumBuckets} buckets: " +
+        s"${r.removedFiles} files -> ${r.addedFiles}; now v${r.snapshot.version}")
+
     // expire <tableRoot> [keepLast]: snapshot retention (Iceberg's
     // expire_snapshots; the reference's delete-after-upload + disk-queue cap,
     // RemoteFileSink.java:151-216, FileBlockingQueue.java:83-150)

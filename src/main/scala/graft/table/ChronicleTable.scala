@@ -186,7 +186,12 @@ case class PendingCommit(
     newSchema: Option[StructType],
     lineage: LineageEntry,
     /** Optional (sourceId, highest consumed segment number) cursor advance. */
-    cursor: Option[(String, Long)] = None)
+    cursor: Option[(String, Long)] = None,
+    /** Set ONLY by a full-rewrite rescale: the table's new bucket count
+      * (every addedFile must already be bucketed by it and removedFiles
+      * must cover the entire previous inventory).
+      */
+    newNumBuckets: Option[Int] = None)
 
 /** ChronicleTable — a from-scratch Iceberg-style table format.
   *
@@ -429,7 +434,7 @@ class ChronicleTable(val root: String) {
     Snapshot(
       version = base.version + 1,
       schemaJson = pending.newSchema.map(_.json).getOrElse(base.schemaJson),
-      numBuckets = base.numBuckets,
+      numBuckets = pending.newNumBuckets.getOrElse(base.numBuckets),
       manifests = base.manifestList.filterNot(m => touched(m.bucket)) ++ newEntries,
       committedBatches = window,
       ledgerFloors = floors,

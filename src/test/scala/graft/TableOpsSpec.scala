@@ -41,6 +41,48 @@ class TableOpsSpec extends SparkSpec {
     assert(r2.compactedBuckets == 0)
   }
 
+  test("bucket rescale mid-drain: state preserved, pruning and merges continue under the new layout") {
+    val cfg = BinlogConfig(numEvents = 1800, numConversations = 12,
+      segmentSize = 200, dupPct = 5, pDelete = 0.2)
+    val src = tmpDir("binlog-rescale")
+    val tbl = tmpDir("table-rescale")
+    BinlogGenerator.writeSegments(spark, cfg, src)
+    val p = new CdcPipeline(PipelineConfig(src, tbl, segmentsPerBatch = 3,
+      numBuckets = 2))
+    p.runAll(spark, maxBatches = 2) // segments 0..5 at 2 buckets
+    val midState = p.currentState(spark).collect().toSeq
+
+    val r = graft.ops.Rescale(spark, p.table, newNumBuckets = 8)
+    assert(r.newNumBuckets == 8 && r.snapshot.numBuckets == 8)
+    assert(p.currentState(spark).collect().toSeq == midState)
+    // every manifest and data file lives under the new bucket numbering
+    val snap = p.table.loadCurrent()
+    assert(snap.manifestList.map(_.bucket).forall(b => b >= 0 && b < 8))
+    assert(p.table.filesOf(snap).groupBy(_.bucket).keySet.size > 2,
+      "rescale should spread rows over more than the old 2 buckets")
+
+    // the drain continues against the rescaled table: later merges bucket
+    // by the NEW count and converge to the oracle
+    p.runAll(spark)
+    val oracle = BinlogGenerator.referenceReduction(cfg).values.toSeq
+      .sortBy(e => (e.conv_id, e.turn_idx))
+      .map(e => (e.conv_id, e.turn_idx, e.text))
+    assert(p.currentState(spark).collect().toSeq
+      .map(r => (r.getAs[String]("conv_id"), r.getAs[Int]("turn_idx"),
+        r.getAs[String]("text"))) == oracle)
+
+    // a MOR table rescales too: deltas fold into the new layout
+    val m = new CdcPipeline(PipelineConfig(src, tmpDir("table-rescale-mor"),
+      segmentsPerBatch = 3, numBuckets = 2, mergeOnRead = true))
+    m.runAll(spark)
+    val morState = m.currentState(spark).collect().toSeq
+    val rm = graft.ops.Rescale(spark, m.table, newNumBuckets = 4)
+    assert(rm.snapshot.numBuckets == 4)
+    assert(!m.table.hasDeltas(m.table.loadCurrent()),
+      "rescale must fold deltas in the same rewrite")
+    assert(m.currentState(spark).collect().toSeq == morState)
+  }
+
   test("incremental changelog read returns the net changes since a snapshot") {
     val cfg = BinlogConfig(numEvents = 1200, numConversations = 10,
       segmentSize = 200, dupPct = 5, pDelete = 0.2)
