@@ -198,11 +198,11 @@ class MultiSinkPipeline(val cfg: PipelineConfig, val routes: Seq[RouteConfig],
         r.sink -> (() => MergeInto(spark, sinkTable(r.sink),
           aliased(batch.filter(pred), r), batchKey,
           source = slice.mkString(","), saltBuckets = cfg.saltBuckets,
-          cursor = advance))
+          cursor = advance, mergeOnRead = cfg.mergeOnRead))
       } :+ (defaultSink -> (() => MergeInto(spark, sinkTable(defaultSink),
         batch.filter(noneMatched), batchKey,
         source = slice.mkString(","), saltBuckets = cfg.saltBuckets,
-        cursor = advance)))
+        cursor = advance, mergeOnRead = cfg.mergeOnRead)))
       Some(applyAll(work))
     } finally batch.unpersist()
   }
@@ -249,11 +249,11 @@ class MultiSinkPipeline(val cfg: PipelineConfig, val routes: Seq[RouteConfig],
             r.sink -> (() => MergeInto(batch.sparkSession, sinkTable(r.sink),
               aliased(batch.filter(pred), r), batchKey,
               source = s"stream-epoch-$id", saltBuckets = cfg.saltBuckets,
-              orderedSource = false))
+              orderedSource = false, mergeOnRead = cfg.mergeOnRead))
           } :+ (defaultSink -> (() => MergeInto(batch.sparkSession, sinkTable(defaultSink),
             batch.filter(noneMatched), batchKey,
             source = s"stream-epoch-$id", saltBuckets = cfg.saltBuckets,
-            orderedSource = false)))
+            orderedSource = false, mergeOnRead = cfg.mergeOnRead)))
           applyAll(work)
           ()
         } finally batch.unpersist()

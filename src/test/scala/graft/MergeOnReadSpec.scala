@@ -149,6 +149,41 @@ class MergeOnReadSpec extends SparkSpec {
     assert(tableRows(p) == oracleRows(cfg))
   }
 
+  test("multi-sink fan-out honors mergeOnRead per sink") {
+    import graft.cdc.MultiSinkPipeline
+    import graft.routing.RouteConfig
+    val cfg = BinlogConfig(numEvents = 900, numConversations = 8,
+      segmentSize = 300, dupPct = 5, pDelete = 0.2)
+    val src = tmpDir("binlog-msink-mor")
+    BinlogGenerator.writeSegments(spark, cfg, src)
+    val p = new MultiSinkPipeline(
+      PipelineConfig(src, tmpDir("table-msink-mor"), segmentsPerBatch = 1,
+        numBuckets = 2, mergeOnRead = true),
+      Seq(RouteConfig("users", Some("""xpath("role") = "user""""))))
+    p.runAll(spark)
+    p.sinkNames.foreach { s =>
+      assert(p.sinkTable(s).hasDeltas(p.sinkTable(s).loadCurrent()),
+        s"sink $s did not write deltas under mergeOnRead")
+    }
+    def fold(pred: graft.model.Model.ChangeEvent => Boolean) = {
+      val cdf = BinlogGenerator.zipfCdf(cfg.numConversations, cfg.zipfS)
+      val st = scala.collection.mutable.Map[(String, Int), String]()
+      (0L until cfg.numEvents).foreach { lsn =>
+        val ev = BinlogGenerator.eventAt(cfg, cdf, lsn)
+        if (pred(ev)) {
+          if (ev.op == "D") st.remove((ev.conv_id, ev.turn_idx))
+          else st((ev.conv_id, ev.turn_idx)) = ev.text
+        }
+      }
+      st.toSeq.sortBy(_._1)
+    }
+    def state(sink: String) = p.sinkState(spark, sink)
+      .select("conv_id", "turn_idx", "text").collect().toSeq
+      .map(r => ((r.getString(0), r.getInt(1)), r.getString(2))).sortBy(_._1)
+    assert(state("users") == fold(_.role == "user"))
+    assert(state("default") == fold(_.role != "user"))
+  }
+
   test("in-drain maintenance with MOR bounds files and GCs tombstones up to the HWM") {
     val cfg = BinlogConfig(numEvents = 3000, numConversations = 20,
       segmentSize = 100, dupPct = 5, pDelete = 0.25)
