@@ -218,11 +218,11 @@ object Bench {
       // wall-clock budget (its calibration is still recorded).
       val stealCap = sys.env.getOrElse("SPARK_GRAFT_STEAL_CAP", "0.05").toDouble
       val ceilCap = sys.env.getOrElse("SPARK_GRAFT_CEIL_CAP", "0.92").toDouble
-      // 5 pairs: hi-level trials show a ~35% spread on this host even at
-      // zero recorded steal (bandwidth co-tenancy), so the best-low-steal-
-      // trial protocol needs more draws per rung; the wall-clock budget
-      // below still bounds the whole section
-      val maxPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "5").toInt
+      // 6 pairs: trials show a ~35% spread on this host even at zero
+      // recorded steal (bandwidth/disk co-tenancy the probes cannot see),
+      // so the best-low-steal-trial protocol needs draws; the wall-clock
+      // budget bounds pair accrual too (checked inside the pair loop)
+      val maxPairs = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "6").toInt
 
       def protocolEff(trials: Seq[Trial], nLo: Int): Double = {
         def best(c: Int): Option[Double] = {
@@ -236,11 +236,19 @@ object Bench {
         }
       }
 
+      // wall-clock budget for the whole scaling section: the ladder stops
+      // descending and pairs stop accruing once spent (keeps the per-round
+      // bench bounded)
+      val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "900").toInt
+      val ladderT0 = System.nanoTime()
+      def spent: Double = (System.nanoTime() - ladderT0) / 1e9
+
       def runProtocol(nLo: Int): (Double, Seq[Trial]) = {
         val nHi = nLo * 4
         var trials = Vector.empty[Trial]
         var pairs = 0
-        while (pairs < maxPairs && (pairs < 2 || protocolEff(trials, nLo) < 0.8)) {
+        while (pairs < maxPairs && (pairs < 2 ||
+            (protocolEff(trials, nLo) < 0.8 && spent < budgetSec))) {
           trials :+= timed(nLo)
           trials :+= timed(nHi)
           pairs += 1
@@ -251,11 +259,6 @@ object Bench {
       val ladder = sys.env.get("SPARK_GRAFT_BENCH_N")
         .map(n => Seq(n.toInt))
         .getOrElse(Seq(8, 4, 2, 1))
-      // wall-clock budget for the whole scaling section: the ladder stops
-      // descending once spent (keeps the per-round bench bounded)
-      val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "900").toInt
-      val ladderT0 = System.nanoTime()
-      def spent: Double = (System.nanoTime() - ladderT0) / 1e9
       case class ProtoResult(nLo: Int, ceiling: Double, eff: Double,
           trials: Seq[Trial], skipped: Boolean)
       var results = Vector.empty[ProtoResult]

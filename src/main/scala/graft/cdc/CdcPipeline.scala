@@ -290,9 +290,9 @@ class CdcPipeline(val cfg: PipelineConfig) {
     // can CANCEL the in-flight prepare (a bare Future.cancel would only
     // interrupt the submitter thread and leave the Spark job running)
     val prepGroup = s"graft-prep-${java.util.UUID.randomUUID()}"
-    def prep(slice: Seq[String]): java.util.concurrent.Future[DataFrame] =
-      exec.submit(new java.util.concurrent.Callable[DataFrame] {
-        def call(): DataFrame = {
+    def prep(slice: Seq[String]): java.util.concurrent.Future[MergeInto.Prepared] =
+      exec.submit(new java.util.concurrent.Callable[MergeInto.Prepared] {
+        def call(): MergeInto.Prepared = {
           spark.sparkContext.setJobGroup(prepGroup,
             "pipelined micro-batch prepare", interruptOnCancel = true)
           try MergeInto.prepare(spark,
@@ -308,7 +308,7 @@ class CdcPipeline(val cfg: PipelineConfig) {
     // pending/throughput feedback as runAll, minus one step of latency.
     def spbNow: Int = if (cfg.adaptiveBatching) dynamicSpb else cfg.segmentsPerBatch
     var n = 0
-    var pendingPrep: java.util.concurrent.Future[DataFrame] = null
+    var pendingPrep: java.util.concurrent.Future[MergeInto.Prepared] = null
     try {
       var cursor = consumedSegment()
       var slice = listSegments().filter(s => segNum(s) > cursor).take(spbNow)

@@ -109,19 +109,39 @@ object MergeInto {
     out
   }
 
+  /** A prepared (deduped, cached) batch plus the slim planning stats the
+    * apply phase needs BEFORE writing: key range + bucket set (file
+    * pruning), row count (broadcast sizing, empty-batch exit) and max LSN
+    * (fully-stale-batch exit). Computed over the PRE-HWM dedup result —
+    * for pruning that is a safe superset; correctness of redelivery
+    * handling stays with the HWM filter at apply time.
+    */
+  case class Prepared(df: DataFrame, minKey: String, maxKey: String,
+      n: Long, maxLsn: Long, buckets: Set[Int]) {
+    def unpersist(): Unit = df.unpersist()
+  }
+
   /** The table-independent heavy phase: LWW dedup of a raw batch, bucket
-    * assignment, persisted. Safe to run CONCURRENTLY with the previous
-    * batch's apply (it reads no table state) — the pipelined driver
-    * overlaps this scan+shuffle with the predecessor's IO-bound write.
-    * The exact high-water-mark redelivery filter happens at apply time
-    * over this (small) cached result, so preparing against a not-yet-
-    * committed predecessor cannot resurrect deleted rows.
+    * assignment, persisted — with the slim planning aggregate as the
+    * materializing action (one job does both; a separate apply-side stats
+    * job was measured stalling ~seconds per batch behind the in-flight
+    * next-batch prepare under the pipelined drain's FIFO scheduling).
+    * Safe to run CONCURRENTLY with the previous batch's apply (it reads no
+    * table state) — the exact high-water-mark redelivery filter happens at
+    * apply time over the (small) cached result, so preparing against a
+    * not-yet-committed predecessor cannot resurrect deleted rows.
     */
   def prepare(spark: SparkSession, batch: DataFrame, numBuckets: Int,
-      saltBuckets: Int = 0): DataFrame = tick("prepare") {
+      saltBuckets: Int = 0): Prepared = tick("prepare") {
     val d = dedupOnly(batch, numBuckets, saltBuckets).cache()
-    d.count() // materialize now — that's the point of the overlap
-    d
+    val s = tick("stats")(d.agg(
+      min("conv_id").as("minKey"), max("conv_id").as("maxKey"),
+      count(lit(1)).as("n"), max(col(Model.ordColumn)).as("maxLsn"),
+      collect_set("__bucket").as("buckets")).collect()(0))
+    val n = s.getAs[Long]("n")
+    Prepared(d, s.getAs[String]("minKey"), s.getAs[String]("maxKey"), n,
+      if (n == 0) -1L else s.getAs[Long]("maxLsn"),
+      s.getSeq[Int](s.fieldIndex("buckets")).toSet)
   }
 
   private def dedupOnly(batch: DataFrame, numBuckets: Int,
@@ -144,7 +164,7 @@ object MergeInto {
       batchKey: String, source: String, saltBuckets: Int = 0,
       orderedSource: Boolean = true,
       cursor: Option[(String, Long)] = None,
-      prepared: Option[DataFrame] = None,
+      prepared: Option[Prepared] = None,
       /** Merge-on-read mode: the batch's winners (upserts AND delete
         * tombstones) are written as DELTA files overlaying the table —
         * write IO is O(batch) with NO table reads, where copy-on-write
@@ -177,8 +197,9 @@ object MergeInto {
       StructField(Model.deletedColumn, BooleanType, nullable = false)))
     val evolved = mergedPayload.fieldNames.toSeq != tablePayload.fieldNames.toSeq
 
-    val dedupedAll = prepared.getOrElse(
-      dedupOnly(batch, base.numBuckets, saltBuckets).cache())
+    val prep = prepared.getOrElse(
+      prepare(spark, batch, base.numBuckets, saltBuckets))
+    val dedupedAll = prep.df
     // --- high-water-mark redelivery filter (ordered sources) -------------
     // Applied AFTER dedup, over the small cached result: per key the
     // winner's LSN is the batch maximum, so a winner at-or-below the
@@ -198,27 +219,28 @@ object MergeInto {
       else dedupedAll
 
     try {
-      // --- slim metadata pass over the (small) deduped batch ---------------
-      // ONLY what write planning needs (key range, bucket set, row count):
-      // reads two columns off the cached dedup result. The expensive
-      // lineage stats (LSN range, delete count, payload checksum over the
-      // full text column) ride the WRITE job as observed metrics instead of
-      // a second full pass — measured as the worst-scaling phase of the
-      // replay when it ran as its own aggregate.
-      val stats = tick("stats")(deduped.agg(
-        min("conv_id").as("minKey"), max("conv_id").as("maxKey"),
-        count(lit(1)).as("n"),
-        collect_set("__bucket").as("buckets")).collect()(0))
-
-      val n = stats.getAs[Long]("n")
-      if (n == 0) {
+      // Write planning runs off the stats the PREPARE pass already
+      // computed with its materializing action (key range + bucket set are
+      // a safe superset of the post-HWM batch; broadcast sizing needs only
+      // the order of magnitude). The expensive lineage stats (LSN range,
+      // delete count, payload checksum over the full text column) ride the
+      // WRITE job as observed metrics — no apply-side aggregate job at
+      // all, which under the pipelined drain's FIFO scheduling used to
+      // stall behind the in-flight next-batch prepare.
+      val n = prep.n
+      // empty batch, or an ordered batch that is redeliveries end-to-end
+      // (its max LSN at-or-below this source's mark): ledger the batchKey
+      // and advance the cursor without touching data
+      if (n == 0 ||
+          (orderedSource && prep.maxLsn <=
+            base.hwmFor(batchKey.takeWhile(_ != '#')))) {
         val lineage = LineageEntry(batchKey, source, -1L, -1L, 0, 0, 0, 0L, Map.empty, -1L)
         val next = table.commit(base, PendingCommit(batchKey, Nil, Nil, None, lineage, cursor))
         return MergeResult(next, skipped = false, 0, 0, 0, 0)
       }
-      val minKey = stats.getAs[String]("minKey")
-      val maxKey = stats.getAs[String]("maxKey")
-      val buckets = stats.getSeq[Int](stats.fieldIndex("buckets")).toSet
+      val minKey = prep.minKey
+      val maxKey = prep.maxKey
+      val buckets = prep.buckets
 
       // Lineage metrics collected by the write job. The CollectMetrics
       // node must sit on a branch the write plan executes EXACTLY ONCE
