@@ -38,11 +38,19 @@ object Bench {
     s
   }
 
-  /** Replay `events` change events through the full engine, return seconds. */
+  /** Replay `events` change events through the full engine, return seconds.
+    * The table lives on tmpfs when available, like the shuffle scratch: the
+    * sandbox's single virtio disk models neither a cluster's object store
+    * nor its NVMe, and its co-tenant contention is invisible to the CPU and
+    * memory-bandwidth calibration probes.
+    */
   private def cdcReplay(spark: SparkSession, binlogDir: String,
       numEvents: Long): Double = {
-    val tableRoot = java.nio.file.Files
-      .createTempDirectory("graft-bench-table").toString
+    val base = java.nio.file.Paths.get("/dev/shm")
+    val tableRoot =
+      (if (java.nio.file.Files.isDirectory(base))
+        java.nio.file.Files.createTempDirectory(base, "graft-bench-table")
+      else java.nio.file.Files.createTempDirectory("graft-bench-table")).toString
     val p = new CdcPipeline(PipelineConfig(binlogDir, tableRoot,
       segmentsPerBatch = 1, numBuckets = 32, saltBuckets = 0))
     val t0 = System.nanoTime()

@@ -134,7 +134,7 @@ object MergeInto {
   def prepare(spark: SparkSession, batch: DataFrame, numBuckets: Int,
       saltBuckets: Int = 0): Prepared = tick("prepare") {
     val d = dedupOnly(batch, numBuckets, saltBuckets).cache()
-    val s = tick("stats")(d.agg(
+    val s = (d.agg(
       min("conv_id").as("minKey"), max("conv_id").as("maxKey"),
       count(lit(1)).as("n"), max(col(Model.ordColumn)).as("maxLsn"),
       collect_set("__bucket").as("buckets")).collect()(0))
