@@ -269,23 +269,34 @@ object Bench {
         .getOrElse(Seq(8, 4, 2, 1))
       case class ProtoResult(nLo: Int, ceiling: Double, eff: Double,
           trials: Seq[Trial], skipped: Boolean)
-      var results = Vector.empty[ProtoResult]
+      // Calibrate EVERY rung first, then measure in DESCENDING-CEILING
+      // order: the protocol's premise is "measure where the host can
+      // physically parallelize", so the most-capable rung gets the budget
+      // first — a wider rung whose ceiling merely clears the cap in a lucky
+      // window must not starve the rung where the substrate is actually
+      // clean (observed: a 0.958-ceiling 2/8 burned six pairs and left the
+      // 1.008-ceiling 1/4 only three). All rungs land in the artifact with
+      // their ceilings either way.
+      val calibrated = ladder.map(nLo => nLo -> hostCeiling(nLo, nLo * 4))
+      val (eligible, incapable) = calibrated.partition(_._2 >= ceilCap)
+      // nothing eligible: fall back to the single best-ceiling rung
+      val toRun =
+        if (eligible.nonEmpty) eligible.sortBy { case (n, c) => (-c, n) }
+        else Seq(calibrated.maxBy(_._2))
+      var results = incapable.filterNot(toRun.contains).map { case (n, c) =>
+        ProtoResult(n, c, 0.0, Nil, skipped = true)
+      }.toVector
       var chosen: Option[ProtoResult] = None
-      ladder.iterator
+      toRun.iterator
         .takeWhile(_ => chosen.isEmpty &&
-          (results.isEmpty || spent < budgetSec))
-        .foreach { nLo =>
-          val ceil = hostCeiling(nLo, nLo * 4)
-          // never skip the last rung: something must produce trials
-          if (ceil < ceilCap && nLo != ladder.last) {
-            results :+= ProtoResult(nLo, ceil, 0.0, Nil, skipped = true)
-          } else {
-            val (eff, trials) = runProtocol(nLo)
-            val r = ProtoResult(nLo, ceil, eff, trials, skipped = false)
-            results :+= r
-            if (eff >= 0.8) chosen = Some(r)
-          }
+          (results.forall(_.skipped) || spent < budgetSec))
+        .foreach { case (nLo, ceil) =>
+          val (eff, trials) = runProtocol(nLo)
+          val r = ProtoResult(nLo, ceil, eff, trials, skipped = false)
+          results :+= r
+          if (eff >= 0.8) chosen = Some(r)
         }
+      results = results.sortBy(-_.nLo)
       val pick = chosen.getOrElse(
         results.filterNot(_.skipped).maxByOption(_.eff).getOrElse(results.last))
       val nLo = pick.nLo
