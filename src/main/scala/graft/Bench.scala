@@ -28,6 +28,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
     // shuffle scratch on tmpfs when available (models cluster-local NVMe;
     // the sandbox's single virtio disk otherwise serializes shuffle IO)
@@ -148,6 +149,83 @@ object Bench {
     if (dTotal <= 0) 0.0 else (b._1 - a._1).toDouble / dTotal
   }
 
+  /** Temp dir on tmpfs when available (same reasoning as the bench table). */
+  private def shmTemp(prefix: String): String = {
+    val base = java.nio.file.Paths.get("/dev/shm")
+    (if (java.nio.file.Files.isDirectory(base))
+      java.nio.file.Files.createTempDirectory(base, prefix)
+    else java.nio.file.Files.createTempDirectory(prefix)).toString
+  }
+
+  private def copyTree(from: String, to: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val src = java.nio.file.Paths.get(from)
+    java.nio.file.Files.walk(src).iterator().asScala.foreach { p =>
+      val dst = java.nio.file.Paths.get(to).resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(dst)
+      else java.nio.file.Files.copy(p, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** Merge-on-read vs copy-on-write A/B at the STEADY-STATE shape the
+    * headline replay does not exercise: a base table ~100x larger than each
+    * trailing micro-batch (the 100 TB regime, where CoW rewrites O(table)
+    * per batch and MOR writes O(batch)). One shared setup table, copied, the
+    * same trailing segments drained through each mode on the same session —
+    * the per-batch gap is the measurement; visible-row equality after a
+    * horizon compaction is the correctness tie-down (mode changes IO, never
+    * results). Returns a JSON fragment for the bench artifact.
+    */
+  private def morAb(spark: SparkSession): String = {
+    import graft.table.ChronicleTable
+    val batchEvents = 20000L
+    val trailing = 6
+    val baseEvents = 2400000L
+    // uniform keys (zipfS=0) over an 8M-slot keyspace: ~2.1M base rows,
+    // ratio ~100x per trailing batch
+    val cfg = BinlogConfig(numEvents = baseEvents + trailing * batchEvents,
+      numConversations = 500000, maxTurns = 16, zipfS = 0.0, dupPct = 1,
+      segmentSize = batchEvents, filesPerSegment = 4)
+    val binlog = shmTemp("graft-ab-binlog")
+    val rootCow = shmTemp("graft-ab-cow")
+    val rootMor = shmTemp("graft-ab-mor")
+    try {
+      BinlogGenerator.writeSegments(spark, cfg, binlog)
+      val setupBatches = (baseEvents / batchEvents).toInt
+      val setup = new CdcPipeline(PipelineConfig(binlog, rootCow,
+        segmentsPerBatch = setupBatches, numBuckets = 32))
+      setup.runAll(spark, maxBatches = 1)
+      val baseRows = setup.table.loadCurrent().totalRows
+      copyTree(rootCow, rootMor)
+      def drain(root: String, mor: Boolean): Double = {
+        val p = new CdcPipeline(PipelineConfig(binlog, root,
+          segmentsPerBatch = 1, numBuckets = 32, mergeOnRead = mor))
+        val t0 = System.nanoTime()
+        val n = p.runAllPipelined(spark)
+        require(n == trailing, s"A/B drained $n of $trailing batches")
+        (System.nanoTime() - t0) / 1e9
+      }
+      val cowSec = drain(rootCow, mor = false)
+      val morSec = drain(rootMor, mor = true)
+      // fold the MOR deltas back (tombstones GC'd at the table's own safe
+      // horizon) and tie down visible-row equality
+      val morTable = new ChronicleTable(rootMor)
+      graft.ops.Compaction(spark, morTable, maxFilesPerBucket = 0,
+        tombstoneHorizonLsn = morTable.loadCurrent().tombstoneHorizon)
+      def visible(root: String): Long =
+        new ChronicleTable(root).read(spark)
+          .filter(!org.apache.spark.sql.functions.col(
+            graft.model.Model.deletedColumn)).count()
+      val cowRows = visible(rootCow)
+      val morRows = visible(rootMor)
+      val ratio = baseRows.toDouble / batchEvents
+      f""","mor_ab":{"base_rows":$baseRows,"batch_events":$batchEvents,"table_to_batch_ratio":$ratio%.0f,"batches":$trailing,"cow_sec":$cowSec%.2f,"mor_sec":$morSec%.2f,"cow_sec_per_batch":${cowSec / trailing}%.2f,"mor_sec_per_batch":${morSec / trailing}%.2f,"speedup":${cowSec / morSec}%.2f,"cow_rows":$cowRows,"mor_rows":$morRows,"rows_equal":${cowRows == morRows}}"""
+    } finally {
+      rmTree(binlog); rmTree(rootCow); rmTree(rootMor)
+    }
+  }
+
   private def rmTree(dir: String): Unit = {
     import scala.jdk.CollectionConverters._
     val p = java.nio.file.Paths.get(dir)
@@ -162,12 +240,28 @@ object Bench {
     val numEvents = sys.env.getOrElse("SPARK_GRAFT_BENCH_EVENTS", "32000000").toLong
     val skipScaling = sys.env.get("SPARK_GRAFT_SKIP_SCALING").contains("1")
 
-    // part 1: query timings
+    // part 1: query timings. Noise guard (BENCH.md): a single unguarded
+    // pass let one co-tenant burst record a fake 7x regression in round 3
+    // (dedup_ngram_jaccard 28.6s vs a quiet-window 2.8s on identical code),
+    // so every query whose first pass exceeds 1s is re-timed once and the
+    // MIN of the two passes stands. The replay-table memo is cleared before
+    // the second pass so the cdc_final_state family re-runs the real engine
+    // replay — min-of-2 compares cold-to-cold, never replay-vs-warm-read.
     val spark0 = session(cpus)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timeQuery(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark0, sfDir).count() } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { SparkEntry.queries(name)(spark0, sfDir).count() }
+      catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val firstPass = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> timeQuery(n))
+    val redo = firstPass.filter(_._2 > 1.0).map(_._1).toSet
+    if (redo.nonEmpty) graft.queries.CdcQueries.clearReplayCache()
+    val secondPass = firstPass.collect {
+      case (n, _) if redo(n) => n -> timeQuery(n)
+    }.toMap
+    val results = firstPass.map { case (n, t1) =>
+      n -> math.min(t1, secondPass.getOrElse(n, t1))
     }
 
     // part 2: CDC replay scaling protocol (one shared binlog, two sessions)
@@ -330,7 +424,20 @@ object Bench {
           .mkString("[", ",", "]")
         f"""{"n_lo":${r.nLo},"host_cpu_ceiling":${r.ceiling}%.3f,"skipped":${r.skipped},"scaling_efficiency":${r.eff}%.3f,"trials":$tj}"""
       }.mkString("[", ",", "]")
-      cdcJson = f""","cdc":{"events":$numEvents,"n_lo":$nLo,"n_hi":$nHi,"sec_lo":$secLo%.2f,"sec_hi":$secHi%.2f,"events_per_sec_lo":${tpLo.toLong},"events_per_sec_hi":${tpHi.toLong},"scaling_efficiency":$eff%.3f,"host_cpu_ceiling":${pick.ceiling}%.3f,"steal_cap":$stealCap,"ceiling_cap":$ceilCap,"phases_lo":$phasesLo,"phases_hi":$phasesHi,"protocols":$protoJson}"""
+      // steady-state A/B (table = ~100x batch): its own session, after the
+      // ladder so it cannot contend with the scaling trials
+      val abJson =
+        if (sys.env.get("SPARK_GRAFT_SKIP_AB").contains("1")) ""
+        else {
+          val s = session(16)
+          try morAb(s)
+          finally {
+            s.stop()
+            SparkSession.clearActiveSession()
+            SparkSession.clearDefaultSession()
+          }
+        }
+      cdcJson = f""","cdc":{"events":$numEvents,"n_lo":$nLo,"n_hi":$nHi,"sec_lo":$secLo%.2f,"sec_hi":$secHi%.2f,"events_per_sec_lo":${tpLo.toLong},"events_per_sec_hi":${tpHi.toLong},"scaling_efficiency":$eff%.3f,"host_cpu_ceiling":${pick.ceiling}%.3f,"steal_cap":$stealCap,"ceiling_cap":$ceilCap,"phases_lo":$phasesLo,"phases_hi":$phasesHi,"protocols":$protoJson$abJson}"""
     } else spark0.stop()
 
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }

@@ -69,7 +69,16 @@ case class PipelineConfig(
       * read-optimized arm. Pair with `maintenanceEveryBatches` to bound
       * read amplification.
       */
-    mergeOnRead: Boolean = false)
+    mergeOnRead: Boolean = false,
+    /** Pause intake when the table's filesystem has less than this many
+      * usable bytes free (0 = no guard): the drain returns cleanly at the
+      * next batch boundary instead of failing mid-write with a corrupt
+      * staging directory, and resumes from the cursor once space clears —
+      * the reference pauses its Thrift intake on insufficient sink disk
+      * (LocalFileSink's space checker;
+      * TestPauseOnInsufficientDiskSpaceThriftServer.java).
+      */
+    minFreeBytes: Long = 0L)
 
 /** The CDC micro-batch driver: binlog segment dirs -> dedup -> MERGE ->
   * snapshot commit, resumable from the table's own commit ledger.
@@ -198,8 +207,30 @@ class CdcPipeline(val cfg: PipelineConfig) {
     * trailing batch committed while the source was drained cannot cause
     * segments that arrive later to be skipped.
     */
+  /** Usable bytes on the table's filesystem; overridable so specs can fake
+    * a full disk without filling one.
+    */
+  @volatile private[graft] var freeSpaceProbe: () => Long = () =>
+    try Files.getFileStore(Paths.get(cfg.tableRoot)).getUsableSpace
+    catch { case _: java.io.IOException => Long.MaxValue }
+
+  /** True when the disk guard says intake must pause (logged once per
+    * probe). Checked at every batch boundary — never mid-write, so a
+    * drain always stops on a committed snapshot.
+    */
+  private def diskFull(): Boolean =
+    cfg.minFreeBytes > 0L && {
+      val free = freeSpaceProbe()
+      val full = free < cfg.minFreeBytes
+      if (full) println(s"[cdc] intake paused: ${free}B usable under " +
+        s"${cfg.tableRoot} < minFreeBytes=${cfg.minFreeBytes} — drain " +
+        "stops at this batch boundary; rerun after space clears")
+      full
+    }
+
   def runOnce(spark: SparkSession): Option[MergeResult] = {
     ensureTable()
+    if (diskFull()) return None
     val cursor = consumedSegment()
     val spb = if (cfg.adaptiveBatching) dynamicSpb else cfg.segmentsPerBatch
     val slice = listSegments().filter(s => segNum(s) > cursor).take(spb)
@@ -233,11 +264,15 @@ class CdcPipeline(val cfg: PipelineConfig) {
   private def maybeMaintain(spark: SparkSession, applied: Int): Unit =
     if (cfg.maintenanceEveryBatches > 0 &&
         applied % cfg.maintenanceEveryBatches == 0) {
-      // MOR tombstones may be GC'd up to THIS SOURCE's high-water mark:
-      // every future ordered batch from it is HWM-filtered strictly past
-      // the horizon, so no redelivery at-or-below it can need masking again
+      // MOR tombstones may be GC'd only up to the MINIMUM high-water mark
+      // across ALL of the table's sources — compaction drops every
+      // tombstone at-or-below the horizon regardless of which source wrote
+      // it, and a shared multi-source table's other source (whose LSN
+      // sequence may run lower) can still redeliver events that the dropped
+      // tombstone had to mask. Unordered sources (no mark bounds their
+      // redelivery) floor the horizon to MinValue — no GC.
       val horizon =
-        if (cfg.mergeOnRead) table.loadCurrent().hwmFor(cfg.sourceId)
+        if (cfg.mergeOnRead) table.loadCurrent().tombstoneHorizon
         else Long.MinValue
       val r = graft.ops.Compaction(spark, table, cfg.compactMaxFilesPerBucket,
         tombstoneHorizonLsn = horizon)
@@ -310,15 +345,18 @@ class CdcPipeline(val cfg: PipelineConfig) {
     var n = 0
     var pendingPrep: java.util.concurrent.Future[MergeInto.Prepared] = null
     try {
+      def nextSlice(cursor: Long): Seq[String] =
+        if (diskFull()) Nil
+        else listSegments().filter(s => segNum(s) > cursor).take(spbNow)
       var cursor = consumedSegment()
-      var slice = listSegments().filter(s => segNum(s) > cursor).take(spbNow)
+      var slice = nextSlice(cursor)
       if (slice.isEmpty) return 0
       pendingPrep = prep(slice)
       while (slice.nonEmpty && n < maxBatches) {
         val curSlice = slice
         val curPrep = pendingPrep
         cursor = slice.map(segNum).max
-        slice = listSegments().filter(s => segNum(s) > cursor).take(spbNow)
+        slice = nextSlice(cursor)
         pendingPrep =
           if (slice.isEmpty || n + 1 >= maxBatches) null
           else prep(slice)
@@ -459,7 +497,7 @@ class CdcPipeline(val cfg: PipelineConfig) {
   def currentState(spark: SparkSession): DataFrame =
     table.read(spark)
       .filter(!col(Model.deletedColumn))
-      .drop(Model.lsnColumn, Model.deletedColumn)
+      .drop(Model.systemColumns: _*)
       .orderBy("conv_id", "turn_idx")
 
   /** The lineage ledger as a DataFrame (per-batch offsets, counts, checksum). */

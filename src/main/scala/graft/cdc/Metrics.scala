@@ -56,6 +56,30 @@ object Metrics {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema).json(file(dir).toString)
 
+  /** Per-mode operational rates over the LAST `lastK` recorded
+    * batches/epochs — the numbers the reference serves live from
+    * `/surosinkstat` (message count, rates per sink: SinkStat.java:29-41),
+    * computed from the ledger so they need no running server. Used by
+    * `RunCdc stats`.
+    */
+  def rates(spark: SparkSession, dir: String, lastK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(col("mode"))
+      .orderBy(col("tsMs").desc, col("epoch").desc)
+    view(spark, dir)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= lastK).drop("__rn")
+      .groupBy("mode").agg(
+        count(lit(1)).as("batches"),
+        sum("rows").as("rows"),
+        when(sum("sec") > 0, round(sum(col("rows")) / sum(col("sec")), 1))
+          .as("rows_per_sec"),
+        round(avg("sec"), 3).as("avg_sec"),
+        max("tsMs").as("last_ts_ms"))
+      .orderBy("mode")
+  }
+
   /** StreamingQueryListener recording one metrics line per epoch of the
     * named query — the Structured Streaming half of the surface (progress
     * events carry input rows and trigger durations; the foreachBatch side

@@ -265,6 +265,6 @@ class MultiSinkPipeline(val cfg: PipelineConfig, val routes: Seq[RouteConfig],
   def sinkState(spark: SparkSession, sink: String): DataFrame =
     sinkTable(sink).read(spark)
       .filter(!col(Model.deletedColumn))
-      .drop(Model.lsnColumn, Model.deletedColumn)
+      .drop(Model.systemColumns: _*)
       .orderBy("conv_id", "turn_idx")
 }

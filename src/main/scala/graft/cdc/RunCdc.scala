@@ -48,6 +48,9 @@ object RunCdc {
       println(s"generated ${cfg.numEvents} events in ${cfg.numSegments} segments at $dir")
 
     case "run" =>
+      // GRAFT_STATUS_PORT=p: serve /healthcheck + /stats during the drain
+      sys.env.get("GRAFT_STATUS_PORT").foreach(p =>
+        StatusServer.start(args(2), p.toInt))
       // GRAFT_MOR=1: merge-on-read writes (delta files, read-time LWW;
       // fold with `compact` or maintenanceEveryBatches)
       val p = new CdcPipeline(PipelineConfig(args(1), args(2),
@@ -55,7 +58,10 @@ object RunCdc {
         numBuckets = if (args.length > 4) args(4).toInt else 16,
         saltBuckets = if (args.length > 5) args(5).toInt else 0,
         routeFilterFile = if (args.length > 6) Some(args(6)) else None,
-        mergeOnRead = sys.env.get("GRAFT_MOR").contains("1")))
+        mergeOnRead = sys.env.get("GRAFT_MOR").contains("1"),
+        // GRAFT_METRICS=1: append one JSONL metrics event per batch under
+        // <tableRoot>/metrics — surfaced by `stats` as per-mode rates
+        recordMetrics = sys.env.get("GRAFT_METRICS").contains("1")))
       p.verbose = true
       graft.ops.MergeInto.profile = sys.env.get("GRAFT_PROFILE").contains("1")
       val t0 = System.nanoTime()
@@ -72,6 +78,8 @@ object RunCdc {
         f"rows=${snap.totalRows} hwm=${snap.hwmLsn} files=${snap.numFiles}")
 
     case "stream" =>
+      sys.env.get("GRAFT_STATUS_PORT").foreach(p =>
+        StatusServer.start(args(2), p.toInt))
       val p = new CdcPipeline(PipelineConfig(args(1), args(2)))
       val q = p.startStream(spark, args(3),
         maxFilesPerTrigger = if (args.length > 4) args(4).toInt else 8)
@@ -119,6 +127,19 @@ object RunCdc {
         println(f"  bucket=${m.bucket}%-4d files=${m.numFiles}%-4d rows=${m.rows}%-8d " +
           s"keys=[${m.minKey} .. ${m.maxKey}]" +
           (if (m.deltaFiles > 0) s" deltas=${m.deltaFiles}" else ""))
+      }
+      // live rates off the metrics ledger (the /surosinkstat numbers,
+      // SinkStat.java:29-41) — per mode, over the last 20 batches/epochs;
+      // absent when the pipeline ran without recordMetrics
+      val rates = Metrics.rates(spark, s"${args(1)}/metrics").collect()
+      if (rates.nonEmpty) {
+        println("recent rates (last 20 per mode):")
+        rates.foreach { r =>
+          println(s"  mode=${r.getAs[String]("mode")} " +
+            s"batches=${r.getAs[Long]("batches")} rows=${r.getAs[Long]("rows")} " +
+            s"rows/sec=${r.getAs[Any]("rows_per_sec")} " +
+            s"avg_sec=${r.getAs[Double]("avg_sec")}")
+        }
       }
 
     // rescale <tableRoot> <newNumBuckets>: full-rewrite bucket-count
@@ -181,6 +202,16 @@ object RunCdc {
         val snap = p.sinkTable(s).loadCurrent()
         println(s"  sink $s: v${snap.version} rows=${snap.totalRows}")
       }
+
+    // serve <tableRoot> <port>: standalone live status endpoint (the
+    // reference's StatusServer/HealthCheck, StatusServer.java:46-56) —
+    // /healthcheck and /stats off the table metadata + metrics ledger,
+    // no Spark jobs
+    case "serve" =>
+      val srv = StatusServer.start(args(1), args(2).toInt)
+      println(s"status server on :${srv.getAddress.getPort} " +
+        s"(/healthcheck, /stats) for ${args(1)} — ctrl-c to stop")
+      Thread.currentThread().join()
 
     case other => sys.error(s"unknown subcommand: $other")
   }

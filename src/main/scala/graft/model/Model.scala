@@ -80,10 +80,29 @@ object Model {
     */
   val deletedColumn: String = "_deleted"
 
+  /** System column recording which SOURCE's batch wrote each row (the
+    * batch-key prefix). LSN sequences are independent per source (Kafka
+    * partition offsets, per-shard binlog positions), so any consumer that
+    * compares a row's `_lsn` against a high-water mark — the incremental
+    * changelog above all — must compare against the row's OWN source's
+    * mark; without a row-level source tag a multi-source table cannot be
+    * tailed correctly (the reference keeps positions per input,
+    * InputManager.java:36-56). Survivor rows carried through a
+    * copy-on-write rewrite keep their original tag; rows written before
+    * the column existed read as null and fall back to the global mark.
+    * Dictionary-encodes to near-zero bytes in parquet (few distinct
+    * values per file).
+    */
+  val sourceColumn: String = "_source"
+
+  /** All system columns, in physical-schema order. */
+  val systemColumns: Seq[String] = Seq(lsnColumn, deletedColumn, sourceColumn)
+
   /** Physical schema v1 of the table files: payload + system columns. */
   val physicalSchemaV1: StructType = StructType(turnSchemaV1.fields ++ Seq(
     StructField(lsnColumn, LongType, nullable = false),
-    StructField(deletedColumn, BooleanType, nullable = false)))
+    StructField(deletedColumn, BooleanType, nullable = false),
+    StructField(sourceColumn, StringType, nullable = true)))
 
   /** Change-event schema (binlog record). */
   val changeSchema: StructType = StructType(

@@ -4,7 +4,7 @@ import graft.model.Model
 import graft.table._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructField, StructType}
 
 import scala.jdk.CollectionConverters._
 
@@ -117,7 +117,15 @@ object MergeInto {
     * handling stays with the HWM filter at apply time.
     */
   case class Prepared(df: DataFrame, minKey: String, maxKey: String,
-      n: Long, maxLsn: Long, buckets: Set[Int]) {
+      n: Long, maxLsn: Long, buckets: Set[Int],
+      /** The bucket count `buckets` (and the cached `__bucket` column) were
+        * computed under. The apply phase reloads the snapshot LATER; if an
+        * online rescale committed in between, apply recomputes the bucket
+        * set under the current count instead of pruning with stale ids
+        * (which would miss touched files and break base-file key
+        * uniqueness).
+        */
+      numBuckets: Int) {
     def unpersist(): Unit = df.unpersist()
   }
 
@@ -141,7 +149,7 @@ object MergeInto {
     val n = s.getAs[Long]("n")
     Prepared(d, s.getAs[String]("minKey"), s.getAs[String]("maxKey"), n,
       if (n == 0) -1L else s.getAs[Long]("maxLsn"),
-      s.getSeq[Int](s.fieldIndex("buckets")).toSet)
+      s.getSeq[Int](s.fieldIndex("buckets")).toSet, numBuckets)
   }
 
   private def dedupOnly(batch: DataFrame, numBuckets: Int,
@@ -186,7 +194,7 @@ object MergeInto {
     }
 
     // --- schema evolution ------------------------------------------------
-    val systemCols = Set(Model.lsnColumn, Model.deletedColumn)
+    val systemCols = Model.systemColumns.toSet
     val batchPayload = StructType(batch.schema.fields.filterNot(f =>
       f.name == Model.ordColumn || f.name == "op"))
     val tablePayload = StructType(
@@ -194,11 +202,26 @@ object MergeInto {
     val mergedPayload = ChronicleTable.mergeSchemas(tablePayload, batchPayload)
     val physicalSchema = StructType(mergedPayload.fields ++ Seq(
       StructField(Model.lsnColumn, LongType, nullable = false),
-      StructField(Model.deletedColumn, BooleanType, nullable = false)))
-    val evolved = mergedPayload.fieldNames.toSeq != tablePayload.fieldNames.toSeq
+      StructField(Model.deletedColumn, BooleanType, nullable = false),
+      StructField(Model.sourceColumn, StringType, nullable = true)))
+    // also true for a pre-`_source` table: its first merge evolves the
+    // snapshot schema to carry the system column (older files read as null)
+    val evolved =
+      physicalSchema.fieldNames.toSeq != base.schema.fieldNames.toSeq
+    val srcPrefix = batchKey.takeWhile(_ != '#')
 
-    val prep = prepared.getOrElse(
+    val prep0 = prepared.getOrElse(
       prepare(spark, batch, base.numBuckets, saltBuckets))
+    // An online rescale may have committed between a pipelined prepare and
+    // this apply: the cached dedup result is still valid (table-independent)
+    // but its bucket set was computed under the OLD count — recompute it
+    // over the (small, cached) result so file pruning sees the real layout.
+    val prep =
+      if (prep0.numBuckets == base.numBuckets) prep0
+      else prep0.copy(numBuckets = base.numBuckets,
+        buckets = prep0.df
+          .select(ChronicleTable.bucketExpr("conv_id", base.numBuckets).as("__b"))
+          .distinct().collect().map(_.getInt(0)).toSet)
     val dedupedAll = prep.df
     // --- high-water-mark redelivery filter (ordered sources) -------------
     // Applied AFTER dedup, over the small cached result: per key the
@@ -214,8 +237,7 @@ object MergeInto {
     // below the first's.
     val deduped =
       if (orderedSource)
-        dedupedAll.filter(col(Model.ordColumn) >
-          lit(base.hwmFor(batchKey.takeWhile(_ != '#'))))
+        dedupedAll.filter(col(Model.ordColumn) > lit(base.hwmFor(srcPrefix)))
       else dedupedAll
 
     try {
@@ -232,10 +254,10 @@ object MergeInto {
       // (its max LSN at-or-below this source's mark): ledger the batchKey
       // and advance the cursor without touching data
       if (n == 0 ||
-          (orderedSource && prep.maxLsn <=
-            base.hwmFor(batchKey.takeWhile(_ != '#')))) {
+          (orderedSource && prep.maxLsn <= base.hwmFor(srcPrefix))) {
         val lineage = LineageEntry(batchKey, source, -1L, -1L, 0, 0, 0, 0L, Map.empty, -1L)
-        val next = table.commit(base, PendingCommit(batchKey, Nil, Nil, None, lineage, cursor))
+        val next = table.commit(base, PendingCommit(batchKey, Nil, Nil, None,
+          lineage, cursor, ordered = orderedSource))
         return MergeResult(next, skipped = false, 0, 0, 0, 0)
       }
       val minKey = prep.minKey
@@ -289,7 +311,8 @@ object MergeInto {
           added.groupBy(_.bucket.toString).map { case (b, fs) => b -> fs.map(_.rows).sum },
           -1L)
         val pending = PendingCommit(batchKey, removed, added,
-          if (evolved) Some(physicalSchema) else None, lineage, cursor)
+          if (evolved) Some(physicalSchema) else None, lineage, cursor,
+          ordered = orderedSource)
         (tick("commit")(table.commit(base, pending)), upserts, deletes)
       }
 
@@ -300,7 +323,8 @@ object MergeInto {
         val deltaRows = conform(
           observed(deduped
             .withColumn(Model.lsnColumn, col(Model.ordColumn))
-            .withColumn(Model.deletedColumn, col("op") === "D")),
+            .withColumn(Model.deletedColumn, col("op") === "D")
+            .withColumn(Model.sourceColumn, lit(srcPrefix))),
           physicalSchema)
         val added = writeStaged(deltaRows).map(_.copy(delta = true))
         val (next, upserts, deletes) = commitFiles(Nil, added)
@@ -374,7 +398,8 @@ object MergeInto {
       val upsertRows = conform({
         val o = observed(winners
           .withColumn(Model.lsnColumn, col(Model.ordColumn))
-          .withColumn(Model.deletedColumn, col("op") === "D"))
+          .withColumn(Model.deletedColumn, col("op") === "D")
+          .withColumn(Model.sourceColumn, lit(srcPrefix)))
         if (orderedSource) o.filter(col("op") =!= "D") else o
       }, physicalSchema)
       val newData = survivors match {
@@ -453,16 +478,19 @@ object MergeInto {
     * INT96 default writes NO usable column statistics, which would blind
     * the footer-based manifest stats (and every engine's row-group
     * pruning) for the ts column. Readers handle both encodings.
+    *
+    * The conf is set WITHOUT restore: every engine write path wants MICROS,
+    * the set is idempotent, and a set/restore pair is a RACE under
+    * concurrent same-session sink merges (MultiSinkPipeline.applyAll) — one
+    * thread's restore landing while another thread's write is planning
+    * would produce INT96 files with no usable ts stats, silently degrading
+    * time pruning to keep-everything. Engine sessions set it at
+    * construction anyway ([[graft.util.Sessions]]); this is the belt for
+    * externally-built sessions.
     */
-  private[ops] def withMicrosTimestamps[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.parquet.outputTimestampType"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "TIMESTAMP_MICROS")
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
+  private[graft] def withMicrosTimestamps[T](spark: SparkSession)(body: => T): T = {
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    body
   }
 
   /** Executor-side footer read for one data file, under the session's
@@ -491,6 +519,11 @@ object MergeInto {
         case s: org.apache.parquet.column.statistics.LongStatistics if !s.isEmpty =>
           (s.genericGetMin / 1000L, s.genericGetMax / 1000L)
       }
+      // `_lsn` bounds feed the changelog's manifest-level pruning
+      val lsnStats = colStats(Model.lsnColumn).collect {
+        case s: org.apache.parquet.column.statistics.LongStatistics if !s.isEmpty =>
+          (s.genericGetMin, s.genericGetMax)
+      }
       val bucket = f match {
         case bucketRe(b) => b.toInt
         case _ => -1
@@ -499,7 +532,9 @@ object MergeInto {
         if (keyStats.isEmpty) "" else keyStats.map(_._1).min,
         if (keyStats.isEmpty) "￿" else keyStats.map(_._2).max,
         if (tsStats.isEmpty) 0L else tsStats.map(_._1).min,
-        if (tsStats.isEmpty) 0L else tsStats.map(_._2).max)
+        if (tsStats.isEmpty) 0L else tsStats.map(_._2).max,
+        minLsn = if (lsnStats.isEmpty) -1L else lsnStats.map(_._1).min,
+        maxLsn = if (lsnStats.isEmpty) -1L else lsnStats.map(_._2).max)
     } finally reader.close()
   }
 

@@ -73,6 +73,13 @@ object CdcQueries {
   private val replayCache =
     scala.collection.concurrent.TrieMap[(String, Int), String]()
 
+  /** Forget memoized replay tables so a re-timed pass re-runs the REAL
+    * engine replay instead of a warm table read — the bench's min-of-2
+    * noise guard must compare cold-to-cold (the replay IS the measured
+    * operator for the cdc_final_state family).
+    */
+  def clearReplayCache(): Unit = replayCache.clear()
+
   /** Replay the change stream through the real ChronicleTable MERGE path
     * (micro-batched by LSN range) into a session-scratch table.
     */
@@ -106,7 +113,7 @@ object CdcQueries {
     withMs(
       replayTable(spark, dir, numBatches).read(spark)
         .filter(!col(Model.deletedColumn))
-        .drop(Model.lsnColumn, Model.deletedColumn))
+        .drop(Model.systemColumns: _*))
       .orderBy("conv_id", "turn_idx")
 
   /** The same engine replay through the MERGE-ON-READ write path: batches
@@ -138,7 +145,7 @@ object CdcQueries {
     withMs(
       new ChronicleTable(root).read(spark)
         .filter(!col(Model.deletedColumn))
-        .drop(Model.lsnColumn, Model.deletedColumn))
+        .drop(Model.systemColumns: _*))
       .orderBy("conv_id", "turn_idx")
   }
 
@@ -153,7 +160,7 @@ object CdcQueries {
     withMs(
       replayTable(spark, dir).readChanges(spark, sinceVersion = 2L)
         .filter(!col(Model.deletedColumn))
-        .drop(Model.lsnColumn, Model.deletedColumn))
+        .drop(Model.systemColumns: _*))
       .orderBy("conv_id", "turn_idx")
 
   /** SCD type-2 history: every key's version chain with LSN validity
@@ -188,7 +195,7 @@ object CdcQueries {
     withMs(
       replayTable(spark, dir).readSlice(spark, sliceFromMs, sliceToMs)
         .filter(!col(Model.deletedColumn))
-        .drop(Model.lsnColumn, Model.deletedColumn))
+        .drop(Model.systemColumns: _*))
       .orderBy("conv_id", "turn_idx")
 
   /** High-water-mark anti-join: changes whose key was never touched by the

@@ -40,7 +40,18 @@ case class DataFileMeta(
       * into unique-key base files. False (absent in pre-MOR manifests) =
       * base file: keys unique across the bucket's base files.
       */
-    delta: Boolean = false)
+    delta: Boolean = false,
+    /** `_lsn` bounds of rows in the file — what lets the incremental
+      * changelog ([[ChronicleTable.readChanges]]) prune pre-cursor files at
+      * the MANIFEST, so tailing a huge table costs metadata + O(new files)
+      * instead of listing and opening every live file per poll (Iceberg's
+      * incremental scan; the reference hands consumers exactly the new
+      * files via its notice queue, QueueNotice.java:75-97,
+      * S3Consumer.java:98-158). (-1, -1) = unknown (pre-upgrade manifest)
+      * → never pruned.
+      */
+    minLsn: Long = -1L,
+    maxLsn: Long = -1L)
 
 /** Summary of one per-bucket manifest file in the snapshot's manifest LIST:
   * enough metadata (bucket, aggregate key/time bounds, counts) to prune the
@@ -65,7 +76,13 @@ case class ManifestMeta(
     /** Number of merge-on-read delta files in the manifest (0 = pure base:
       * the bucket reads as a plain scan, no read-time merge needed).
       */
-    deltaFiles: Int = 0)
+    deltaFiles: Int = 0,
+    /** Aggregate `_lsn` bounds across member files; (-1, -1) when ANY
+      * member lacks them — the bucket is then conservatively kept by
+      * changelog pruning.
+      */
+    minLsn: Long = -1L,
+    maxLsn: Long = -1L)
 
 /** On-disk content of one per-bucket manifest file. Manifest files are
   * immutable and uuid-named: a commit writes NEW manifests for the buckets
@@ -132,6 +149,14 @@ case class Snapshot(
       * InputManager.java:36-56).
       */
     hwmBySource: Map[String, Long] = Map.empty,
+    /** Source prefixes that have committed UNORDERED batches (Structured
+      * Streaming epochs, whose file-listing order is not the log order).
+      * An unordered source's high-water mark does NOT bound redelivery —
+      * a later epoch can legitimately carry lower LSNs — so consumers that
+      * reason from marks (changelog reads, tombstone GC horizons) must
+      * treat these sources conservatively.
+      */
+    unorderedSources: Seq[String] = Nil,
     /** Per-source consumption cursor: sourceId -> highest consumed segment
       * number. Resume slices the segment list by NUMBER past this cursor,
       * never by list index, so a committed partial trailing batch (e.g. one
@@ -158,6 +183,26 @@ case class Snapshot(
   def cursors: Map[String, Long] = Snapshot.longMap(sourceCursors)
   def floors: Map[String, Long] = Snapshot.longMap(ledgerFloors)
   def hwms: Map[String, Long] = Snapshot.longMap(hwmBySource)
+  /** Null-safe unordered-source view (pre-upgrade manifests lack the field). */
+  def unordered: Set[String] = Option(unorderedSources).getOrElse(Nil).toSet
+  /** The safe MOR tombstone-GC horizon for this snapshot: the MINIMUM
+    * applied-LSN mark across all contributing sources — a tombstone above
+    * any source's mark may still be needed to mask that source's late
+    * redelivery (compaction drops tombstones regardless of writer, so the
+    * horizon must be safe for every writer, not just the caller's). An
+    * unordered source (or an ordered one that has not advanced a mark yet,
+    * e.g. only empty batches so far) floors it to Long.MinValue: no mark
+    * bounds its redelivery, so nothing may be GC'd.
+    */
+  def tombstoneHorizon: Long = {
+    val marks = hwms
+    // every source prefix seen by the ledger must be covered by a mark
+    val prefixes = (floors.keys ++ committedBatches.keys.map(_.takeWhile(_ != '#')))
+      .filterNot(p => p == "compact" || p == "rescale").toSet
+    if (unordered.nonEmpty || marks.isEmpty || !prefixes.forall(marks.contains))
+      Long.MinValue
+    else marks.values.min
+  }
   /** This source's applied-LSN high-water mark: -1 for a source the table
     * has never seen. Pre-upgrade manifests (field absent -> null) fall
     * back to the global mark — those tables were single-source by
@@ -189,9 +234,18 @@ case class PendingCommit(
     cursor: Option[(String, Long)] = None,
     /** Set ONLY by a full-rewrite rescale: the table's new bucket count
       * (every addedFile must already be bucketed by it and removedFiles
-      * must cover the entire previous inventory).
+      * must cover the entire previous inventory — [[ChronicleTable.commit]]
+      * re-verifies full coverage against the snapshot it actually lands on,
+      * so a rescale can never rebase over a concurrent writer's files).
       */
-    newNumBuckets: Option[Int] = None)
+    newNumBuckets: Option[Int] = None,
+    /** Whether the committing batch came from an ORDERED source (LSNs
+      * monotone across batches, so the source's high-water mark bounds
+      * redelivery). False marks the source unordered in the snapshot,
+      * which disables mark-based tombstone GC and changelog reads for the
+      * table (see [[Snapshot.unorderedSources]]).
+      */
+    ordered: Boolean = true)
 
 /** ChronicleTable — a from-scratch Iceberg-style table format.
   *
@@ -346,11 +400,14 @@ class ChronicleTable(val root: String) {
       StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
     manifestCache.synchronized(manifestCache.put(p, files))
     val statless = files.exists(f => f.minTsMs == 0L && f.maxTsMs == 0L)
+    val lsnStatless = files.exists(f => f.minLsn < 0L || f.maxLsn < 0L)
     ManifestMeta(p, bucket, files.size, files.map(_.rows).sum,
       files.map(_.minKey).min, files.map(_.maxKey).max,
       if (statless) 0L else files.map(_.minTsMs).min,
       if (statless) 0L else files.map(_.maxTsMs).max,
-      deltaFiles = files.count(_.delta))
+      deltaFiles = files.count(_.delta),
+      minLsn = if (lsnStatless) -1L else files.map(_.minLsn).min,
+      maxLsn = if (lsnStatless) -1L else files.map(_.maxLsn).max)
   }
 
   /** Test hook: invoked after data files are durable but before the snapshot
@@ -396,9 +453,69 @@ class ChronicleTable(val root: String) {
               s"commit of ${pending.batchKey} lost the version race " +
                 s"$tries times — giving up", e)
           attempt = loadCurrent() // rebase onto the winner and revalidate
+          rebaseConflict(base, attempt, pending).foreach(why =>
+            throw new IllegalStateException(
+              s"commit conflict for ${pending.batchKey}: $why — rerun against " +
+                "the current snapshot"))
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Conflicts a rebase CANNOT heal, beyond the removed-file liveness check
+    * in [[buildNext]] (which already catches two writers racing over the
+    * same files). Two more races are unsound even with disjoint
+    * removed-file sets:
+    *
+    *  1. A full-rewrite RESCALE that lost the version race: the winner's
+    *     files are bucketed under the OLD count; carrying them into the
+    *     rescaled snapshot would hide them from every later merge's
+    *     NEW-bucket manifest pruning (stale rows, missed tombstones). A
+    *     rescale therefore never rebases — it must re-plan against the
+    *     current snapshot.
+    *  2. Two copy-on-write merges that both INSERT the same brand-new key:
+    *     both remove nothing, both rebase, and the bucket ends with two
+    *     key-unique-assumed base files carrying the key — duplicate rows,
+    *     since delta-free reads apply no LWW merge. Detected conservatively
+    *     by key-range overlap between this commit's added BASE files and
+    *     base files the winner added to the same bucket since `orig` (hash
+    *     buckets give near-full key ranges, so same-bucket base adds
+    *     practically always abort — the safe side; merge-on-read deltas
+    *     never conflict, the read-time LWW resolves them).
+    */
+  private def rebaseConflict(orig: Snapshot, winner: Snapshot,
+      pending: PendingCommit): Option[String] = {
+    if (pending.newNumBuckets.isDefined)
+      return Some("a rescale cannot rebase over a concurrent commit " +
+        "(the winner's files are bucketed under the old count)")
+    if (pending.addedFiles.nonEmpty && winner.numBuckets != orig.numBuckets)
+      return Some(s"the table was rescaled ${orig.numBuckets} -> " +
+        s"${winner.numBuckets} buckets concurrently — this commit's added " +
+        "files are bucketed under the old count and would be invisible to " +
+        "new-layout manifest pruning")
+    val addBase = pending.addedFiles.filterNot(_.delta)
+    if (addBase.isEmpty) return None
+    val origByBucket = orig.manifestList.map(m => m.bucket -> m).toMap
+    val winByBucket = winner.manifestList.map(m => m.bucket -> m).toMap
+    addBase.groupBy(_.bucket).collectFirst {
+      // manifest paths are immutable: same path => identical file list, so
+      // only a bucket whose manifest CHANGED since orig can carry new files
+      case (b, adds) if {
+        val origM = origByBucket.get(b)
+        val winM = winByBucket.get(b)
+        winM.exists(m => origM.forall(_.path != m.path)) && {
+          val origLive = origM.map(m => loadManifest(m.path).map(_.path).toSet)
+            .getOrElse(Set.empty[String])
+          val winnerNew = loadManifest(winM.get.path)
+            .filterNot(f => origLive(f.path) || f.delta)
+          val lo = adds.map(_.minKey).min
+          val hi = adds.map(_.maxKey).max
+          winnerNew.exists(f => f.minKey <= hi && f.maxKey >= lo)
+        }
+      } => s"a concurrent writer added base files to bucket $b overlapping " +
+        "this commit's key range (both may carry the same new key — base " +
+        "files must stay key-unique)"
+    }
   }
 
   /** Build the successor snapshot: rewrite ONLY the manifests of buckets
@@ -407,6 +524,22 @@ class ChronicleTable(val root: String) {
     */
   private def buildNext(base: Snapshot, pending: PendingCommit): Snapshot = {
     val removed = pending.removedFiles.toSet
+    // A full-rewrite rescale must remove the ENTIRE live inventory of the
+    // snapshot it lands on: any live file outside its removed set is
+    // bucketed under the old count and would be invisible to every later
+    // merge's new-bucket manifest pruning (stale rows, missed tombstones).
+    // This also hard-stops the rebase race the removed-liveness check below
+    // cannot see — a concurrent writer that only ADDED files.
+    pending.newNumBuckets.foreach { _ =>
+      val uncovered = base.manifestList.flatMap(m => loadManifest(m.path))
+        .map(_.path).filterNot(removed)
+      if (uncovered.nonEmpty)
+        throw new IllegalStateException(
+          s"commit conflict for ${pending.batchKey}: rescale does not cover " +
+            s"${uncovered.size} live files of v${base.version} (concurrent " +
+            s"writer added ${uncovered.take(3).mkString(",")}) — rerun " +
+            "against the current snapshot")
+    }
     val touched = pending.removedFiles.map(bucketOfPath).toSet ++
       pending.addedFiles.map(_.bucket)
     val byBucket = base.manifestList.map(m => m.bucket -> m).toMap
@@ -431,6 +564,9 @@ class ChronicleTable(val root: String) {
       if (pending.lineage.endLsn < 0) base.hwms
       else base.hwms + (srcPrefix ->
         math.max(base.hwmFor(srcPrefix), pending.lineage.endLsn))
+    val unordered =
+      if (pending.ordered) base.unordered
+      else base.unordered + srcPrefix
     Snapshot(
       version = base.version + 1,
       schemaJson = pending.newSchema.map(_.json).getOrElse(base.schemaJson),
@@ -440,6 +576,7 @@ class ChronicleTable(val root: String) {
       ledgerFloors = floors,
       hwmLsn = math.max(base.hwmLsn, pending.lineage.endLsn),
       hwmBySource = hwms,
+      unorderedSources = unordered.toSeq.sorted,
       sourceCursors = base.cursors ++ pending.cursor.map { case (src, seg) =>
         src -> math.max(seg, base.cursors.getOrElse(src, -1L))
       },
@@ -563,46 +700,114 @@ class ChronicleTable(val root: String) {
     * the range (manifest-level pruning — untouched days' files never reach
     * the scan), then applies the exact residual predicate.
     *
-    * With merge-on-read deltas present, file-level ts pruning is unsound
-    * (a pruned-out delta could carry a newer version or tombstone of a row
-    * inside the slice), so the slice falls back to the merged full read
-    * plus the residual predicate — compaction restores the pruned plan.
+    * With merge-on-read deltas present, ts pruning applies to BASE files
+    * only and ALL delta files are kept: a kept delta can only DISPLACE or
+    * TOMBSTONE a base row (never resurrect a pruned one — the pruned base
+    * row would have lost the LWW merge to the kept delta anyway, and a
+    * displaced-row's newer version rides the kept delta itself), and deltas
+    * are O(batches-since-compaction), so between compactions a time-ranged
+    * read pays pruned-bases + deltas instead of the whole table.
     */
   def readSlice(spark: SparkSession, fromMs: Long, toMs: Long): DataFrame = {
     val snap = loadCurrent()
     val residual = unix_millis(col("ts")).between(fromMs, toMs)
-    if (hasDeltas(snap)) return read(spark, snap).filter(residual)
-    val files = pruneFilesByTime(snap, fromMs, toMs)
     val schema = snap.schema
+    val files =
+      if (!hasDeltas(snap)) pruneFilesByTime(snap, fromMs, toMs)
+      else {
+        val all = filesOf(snap)
+        all.filter(f => f.delta ||
+          tsOverlaps(f.minTsMs, f.maxTsMs, fromMs, toMs))
+      }
     val base =
       if (files.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else spark.read.schema(schema).parquet(files.map(_.path): _*)
-    base.filter(residual)
+    val merged =
+      if (files.exists(_.delta)) ChronicleTable.mergeDeltas(base, schema)
+      else base
+    merged.filter(residual)
   }
 
   /** Incremental (changelog) read: the NET row changes applied after
     * snapshot `sinceVersion` (exclusive) up to the current snapshot — every
-    * current row whose `_lsn` exceeds the since-snapshot's high-water mark.
+    * current row whose `_lsn` exceeds the since-snapshot's high-water mark
+    * FOR THE ROW'S OWN SOURCE. LSN sequences are independent per source, so
+    * each row's `_source` tag selects the mark it is compared against — a
+    * single global mark would silently omit every post-cursor row of a
+    * source whose sequence runs below another's. Rows written before the
+    * `_source` column existed (null tag) compare against the global mark;
+    * a legacy table WITHOUT the column at all must be single-source (the
+    * two mark shapes coincide there — multi-source legacy tables error).
     * This is how a downstream pipeline stage tails this table instead of
     * re-reading it (the reference chains suro servers via SuroSink,
-    * SuroClient.java / SuroSink.java:15-38; Iceberg calls it an incremental
-    * scan): each row carries the LSN that wrote it, so the filter is exact
-    * and rides parquet column stats (files are written sorted, and a fresh
-    * batch's files carry tight `_lsn` ranges).
+    * SuroClient.java / SuroSink.java:15-38, keeping positions per input,
+    * InputManager.java:36-56; Iceberg calls it an incremental scan).
+    *
+    * METADATA-PRUNED: manifests carry per-file `_lsn` bounds, so files
+    * whose maxLsn is at-or-below every relevant mark are pruned at the
+    * manifest list — tailing a huge table costs metadata + O(new files),
+    * not a full listing per poll. Pruning before the merge-on-read LWW fold
+    * is sound: a pruned file's every row is at-or-below the minimum mark,
+    * so it can neither BE a surviving change (the row filter would drop it)
+    * nor displace/tombstone one (it loses the LWW comparison to any row
+    * that passes the filter).
     *
     * Semantics are NET changes at read time: a key updated twice since
     * `sinceVersion` appears once with its latest version. Deletes appear as
     * `_deleted` tombstone rows where the table retains them (merge-on-read
     * mode, or unordered CoW); the ordered CoW path erases deleted rows
-    * physically, so its changelog carries upserts only. `sinceVersion` must
-    * still be retained (expiry makes older cursors unreadable, with a clear
-    * error).
+    * physically, so its changelog carries upserts only — a downstream
+    * tailer that must observe deletes needs merge-on-read mode (tombstones
+    * retained up to the GC horizon). `sinceVersion` must still be retained
+    * (expiry makes older cursors unreadable, with a clear error). Tables
+    * with UNORDERED sources cannot be tailed this way at all (no mark
+    * bounds their redelivery) and error clearly.
     */
   def readChanges(spark: SparkSession, sinceVersion: Long): DataFrame = {
+    import graft.model.Model
     val since = loadVersion(sinceVersion)
-    read(spark).filter(col(graft.model.Model.lsnColumn) > since.hwmLsn)
+    val cur = loadCurrent()
+    require(cur.unordered.isEmpty,
+      s"table $root has unordered sources ${cur.unordered.mkString(",")}: " +
+        "their high-water marks do not bound redelivery, so a mark-based " +
+        "changelog would be wrong — tail the source directly instead")
+    val schema = cur.schema
+    val marks: Map[String, Long] =
+      cur.hwms.map { case (s, _) => s -> since.hwmFor(s) }
+    val lsn = col(Model.lsnColumn)
+    val rowFilter =
+      if (!schema.fieldNames.contains(Model.sourceColumn)) {
+        // legacy table without the row tag: sound only when single-source
+        require(marks.size <= 1,
+          s"table $root is multi-source (${marks.keys.mkString(",")}) but " +
+            "its rows carry no _source tag (written pre-upgrade) — " +
+            "per-source changelog filtering is impossible; compact/rewrite " +
+            "the table to stamp the tag")
+        lsn > since.hwmLsn
+      } else {
+        val src = col(Model.sourceColumn)
+        marks.foldLeft(src.isNull && lsn > since.hwmLsn) {
+          case (acc, (s, m)) => acc || (src === s && lsn > m)
+        }
+      }
+    // prune threshold: the MINIMUM mark any surviving row could have been
+    // compared against (per-source marks are each <= the global mark)
+    val thr = if (marks.nonEmpty) marks.values.min else since.hwmLsn
+    val kept = cur.manifestList
+      .filter(m => m.maxLsn < 0L || m.maxLsn > thr)
+      .flatMap(m => loadManifest(m.path))
+      .filter(f => f.maxLsn < 0L || f.maxLsn > thr)
+    val scan =
+      if (kept.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(kept.map(_.path): _*)
+    val merged =
+      if (kept.exists(_.delta)) ChronicleTable.mergeDeltas(scan, schema)
+      else scan
+    merged.filter(rowFilter)
   }
 
   /** The complete lineage ledger: every commit's entry across all
@@ -698,7 +903,7 @@ object ChronicleTable {
     (newFloors, window)
   }
 
-  private[table] val mapper: ObjectMapper = {
+  private[graft] val mapper: ObjectMapper = {
     val m = new ObjectMapper()
     m.registerModule(DefaultScalaModule)
     m.configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)

@@ -24,6 +24,16 @@ object Sessions {
     "java.base/sun.security.action", "java.base/sun.util.calendar",
   ).map(p => s"--add-opens $p=ALL-UNNAMED")
 
+  /** Session-level confs every engine session wants. TIMESTAMP_MICROS is
+    * set HERE, once, because a per-write set/restore races under concurrent
+    * same-session sink merges (one thread's restore can flip another
+    * thread's in-flight write back to INT96, whose files carry no usable
+    * ts statistics — manifests then get (0,0) bounds and time pruning
+    * silently keeps everything).
+    */
+  def tuneForEngine(b: SparkSession.Builder): SparkSession.Builder =
+    b.config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+
   /** Apply executor-process plumbing when the master launches separate
     * executor JVMs; no-op for in-process masters.
     */
@@ -33,6 +43,6 @@ object Sessions {
         .config("spark.executor.extraJavaOptions",
           (jdk17AddOpens :+ "-XX:+UseParallelGC").mkString(" "))
     }
-    b
+    tuneForEngine(b)
   }
 }

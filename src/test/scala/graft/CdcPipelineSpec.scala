@@ -382,6 +382,68 @@ class CdcPipelineSpec extends SparkSpec {
     assert(tableRows(p) == oracleRows(cfg))
   }
 
+  test("rescale landing between a pipelined prepare and its apply: no stale buckets, no duplicate keys") {
+    val cfg = BinlogConfig(numEvents = 1600, numConversations = 10,
+      segmentSize = 200, dupPct = 5, pDelete = 0.2)
+    val src = tmpDir("binlog-prep-race")
+    BinlogGenerator.writeSegments(spark, cfg, src)
+    val p = new CdcPipeline(PipelineConfig(src, tmpDir("table-prep-race"),
+      segmentsPerBatch = 4, numBuckets = 2))
+    p.runAll(spark, maxBatches = 1) // segments 0..3 at 2 buckets
+
+    // the pipelined drain's exact interleaving, made deterministic: batch 2
+    // is PREPARED against the 2-bucket snapshot, then a rescale commits,
+    // then the prepared batch APPLIES against the 8-bucket table
+    val slice = p.listSegments().filter(s => p.segNum(s) > p.consumedSegment())
+    val batch = p.readBatch(spark, slice)
+    val prep = graft.ops.MergeInto.prepare(spark, batch,
+      p.table.loadCurrent().numBuckets) // stale: 2 buckets
+    graft.ops.Rescale(spark, p.table, newNumBuckets = 8)
+    val r = graft.ops.MergeInto(spark, p.table, batch,
+      p.batchKey(p.lastCommittedBatch() + 1), source = slice.mkString(","),
+      cursor = Some("binlog" -> slice.map(p.segNum).max),
+      prepared = Some(prep))
+    assert(!r.skipped)
+
+    // converged to the oracle, every file under the new layout, and the
+    // copy-on-write key-uniqueness invariant holds (a stale-bucket prune
+    // would leave the old version of an updated key behind as a duplicate)
+    assert(tableRows(p) == oracleRows(cfg))
+    val snap = p.table.loadCurrent()
+    assert(snap.numBuckets == 8)
+    assert(p.table.filesOf(snap).forall(f => f.bucket >= 0 && f.bucket < 8))
+    val dups = p.table.read(spark)
+      .groupBy("conv_id", "turn_idx")
+      .count().filter(org.apache.spark.sql.functions.col("count") > 1).count()
+    assert(dups == 0, s"$dups duplicate keys after rescale-raced apply")
+    assert(p.runAll(spark) == 0) // cursor advanced; nothing pending
+  }
+
+  test("disk guard pauses intake at the batch boundary and resumes once space clears") {
+    val cfg = BinlogConfig(numEvents = 600, numConversations = 6, segmentSize = 100)
+    val src = tmpDir("binlog-disk")
+    BinlogGenerator.writeSegments(spark, cfg, src)
+    val p = new CdcPipeline(PipelineConfig(src, tmpDir("table-disk"),
+      segmentsPerBatch = 2, numBuckets = 2, minFreeBytes = 1L << 20))
+    // drain one batch, then the disk "fills": both drain modes stop cleanly
+    assert(p.runAll(spark, maxBatches = 1) == 1)
+    p.freeSpaceProbe = () => 1024L
+    assert(p.runAll(spark) == 0)
+    assert(p.runAllPipelined(spark) == 0)
+    val paused = p.table.loadCurrent()
+    assert(paused.version > 0) // the committed prefix is intact
+    // space clears -> the same pipeline resumes from its cursor and converges
+    p.freeSpaceProbe = () => Long.MaxValue
+    assert(p.runAll(spark) > 0)
+    assert(tableRows(p) == oracleRows(cfg))
+    // a guard-less config never consults the probe
+    val p2 = new CdcPipeline(PipelineConfig(src, tmpDir("table-disk2"),
+      segmentsPerBatch = 2, numBuckets = 2))
+    p2.freeSpaceProbe = () => sys.error("probe must not be called when minFreeBytes=0")
+    p2.runAll(spark)
+    assert(tableRows(p2) == oracleRows(cfg))
+  }
+
   test("salted dedup path produces identical state (hot-key fixture)") {
     // zipfS high => one conversation dominates
     val cfg = BinlogConfig(numEvents = 3000, numConversations = 10,

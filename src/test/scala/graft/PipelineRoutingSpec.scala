@@ -155,6 +155,17 @@ class PipelineRoutingSpec extends SparkSpec {
     p.sinkNames.foreach { s =>
       assert(p.sinkTable(s).loadCurrent().cursors("binlog") == 1L)
     }
+    // every file committed by the concurrent drain carries real ts bounds:
+    // the timestamp conf is session-level now, so no sink's restore can flip
+    // another sink's in-flight write back to stat-less INT96 (which would
+    // silently blind time pruning with (0,0) manifest entries)
+    p.sinkNames.foreach { s =>
+      val t = p.sinkTable(s)
+      val files = t.filesOf(t.loadCurrent())
+      assert(files.nonEmpty)
+      files.foreach(f => assert(f.minTsMs > 0L && f.maxTsMs >= f.minTsMs,
+        s"sink $s file ${f.path} has no ts stats (${f.minTsMs},${f.maxTsMs})"))
+    }
   }
 
   test("aliased multi-sink route labels rows losslessly (merge keys untouched)") {

@@ -121,6 +121,232 @@ class TableOpsSpec extends SparkSpec {
     // expired cursors fail with a clear error
     m.table.expireSnapshots(1)
     intercept[NoSuchElementException] { m.table.readChanges(spark, sinceV) }
+
+    // delete-visibility contract, CoW side: the ordered CoW path erases
+    // deleted rows physically, so its changelog is upsert-only by contract
+    // (documented in readChanges; MOR above is the delete-carrying mode)
+    assert(changed.filter(col(graft.model.Model.deletedColumn)).count() == 0,
+      "ordered CoW changelog must carry no tombstones (upsert-only contract)")
+  }
+
+  test("changelog on a two-source table honors per-source marks (global mark would drop a source)") {
+    val cfgA = BinlogConfig(numEvents = 800, numConversations = 6,
+      segmentSize = 200, dupPct = 5)
+    val cfgB = BinlogConfig(numEvents = 400, numConversations = 4,
+      segmentSize = 200, dupPct = 5)
+    val srcA = tmpDir("binlog-chg2-a")
+    BinlogGenerator.writeSegments(spark, cfgA, srcA)
+    // source B: independent log, LSNs restart at 0 (all BELOW A's mark),
+    // disjoint key space
+    val rawB = tmpDir("binlog-chg2-braw")
+    val srcB = tmpDir("binlog-chg2-b")
+    BinlogGenerator.writeSegments(spark, cfgB, rawB)
+    spark.read.parquet(rawB)
+      .withColumn("conv_id", concat(lit("b-"), col("conv_id")))
+      .write.partitionBy("segment").mode("overwrite").parquet(srcB)
+
+    val tbl = tmpDir("table-chg2")
+    val pA = new CdcPipeline(PipelineConfig(srcA, tbl, sourceId = "srcA",
+      segmentsPerBatch = 2, numBuckets = 4))
+    pA.runAll(spark) // srcA's mark -> 799
+    val sinceV = pA.table.loadCurrent().version // cursor BETWEEN the sources
+    val pB = new CdcPipeline(PipelineConfig(srcB, tbl, sourceId = "srcB",
+      segmentsPerBatch = 2, numBuckets = 4))
+    pB.runAll(spark) // every lsn 0..399 — all below srcA's mark
+
+    val changed = pA.table.readChanges(spark, sinceV)
+    // EVERY change since the cursor came from source B; a global-mark filter
+    // (_lsn > 799) would return zero rows here
+    assert(changed.count() > 0, "source B's changes were dropped from the changelog")
+    val keys = changed.select("conv_id").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(keys.forall(_.startsWith("b-")),
+      s"changelog leaked pre-cursor rows from source A: ${keys.take(3)}")
+    // and it is exactly source B's final state (no misses either)
+    val bRows = pA.table.read(spark)
+      .filter(col("conv_id").startsWith("b-") &&
+        !col(graft.model.Model.deletedColumn))
+      .select("conv_id", "turn_idx", "text").collect().toSet
+    assert(changed.filter(!col(graft.model.Model.deletedColumn))
+      .select("conv_id", "turn_idx", "text").collect().toSet == bRows)
+  }
+
+  test("changelog scan prunes pre-cursor files at the manifest (_lsn bounds)") {
+    val tbl = tmpDir("table-chg-prune")
+    val p = new CdcPipeline(PipelineConfig("", tbl, numBuckets = 1))
+    p.ensureTable()
+    // disjoint key ranges per commit -> no rewrites, one file per commit,
+    // tight per-file _lsn ranges
+    (0 until 4).foreach { i =>
+      val batch = (0 until 10).map { k =>
+        (i * 100L + k, "I", f"conv-$i-$k%03d", 0, "user", s"text $i $k",
+          None: Option[String], new java.sql.Timestamp(1704067200000L))
+      }.toDF("lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+      MergeInto(spark, p.table, batch, s"src#$i", "t")
+    }
+    val snap = p.table.loadCurrent()
+    // footer stats put real _lsn bounds in the manifest
+    val files = p.table.filesOf(snap)
+    assert(files.forall(f => f.minLsn >= 0 && f.maxLsn >= f.minLsn))
+    assert(snap.manifestList.forall(m => m.minLsn >= 0 && m.maxLsn >= m.minLsn))
+    // tail since v2 (commits 3 and 4 pending): the scan must list ONLY the
+    // files whose _lsn range is past the cursor — pre-cursor files are
+    // pruned from the plan entirely, not just filtered
+    val sinceV = 2L
+    val hwm = p.table.loadVersion(sinceV).hwmLsn
+    val changed = p.table.readChanges(spark, sinceV)
+    val expected = files.filter(_.maxLsn > hwm).map(_.path).toSet
+    val scanned = changed.inputFiles.map(f =>
+      java.nio.file.Paths.get(new java.net.URI(f)).toString).toSet
+    assert(scanned == expected,
+      s"changelog scanned ${scanned.size} files, expected ${expected.size} " +
+        s"(of ${files.size} live)")
+    assert(scanned.size < files.size)
+    assert(changed.count() == 20) // commits 2 and 3's rows
+  }
+
+  test("unordered sources make mark-based changelog reads error clearly") {
+    val tbl = tmpDir("table-chg-unordered")
+    val p = new CdcPipeline(PipelineConfig("", tbl, numBuckets = 1))
+    p.ensureTable()
+    val batch = Seq((1L, "I", "conv-a", 0, "user", "t", None: Option[String],
+      new java.sql.Timestamp(0L)))
+      .toDF("lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+    MergeInto(spark, p.table, batch, "ss#0", "t", orderedSource = false)
+    assert(p.table.loadCurrent().unordered == Set("ss"))
+    val e = intercept[IllegalArgumentException] {
+      p.table.readChanges(spark, 0L)
+    }
+    assert(e.getMessage.contains("unordered"))
+  }
+
+  test("MOR time slice prunes base files by ts and keeps deltas (no full-table fallback)") {
+    val tbl = tmpDir("table-timeslice-mor")
+    val p = new CdcPipeline(PipelineConfig("", tbl, numBuckets = 1))
+    p.ensureTable()
+    def dayMs(d: Int) = 1704067200000L + d.toLong * 86400000L
+    // three CoW day-commits (disjoint keys -> one base file per day)
+    (0 until 3).foreach { d =>
+      val batch = (0 until 10).map { k =>
+        (d * 100L + k, "I", f"conv-$d-$k%03d", 0, "user", s"text $d $k",
+          None: Option[String], new java.sql.Timestamp(dayMs(d) + k * 1000L))
+      }.toDF("lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+      MergeInto(spark, p.table, batch, s"day#$d", "t")
+    }
+    val baseFiles = p.table.filesOf(p.table.loadCurrent())
+    val day1Base = baseFiles.filter(f =>
+      f.minTsMs >= dayMs(1) && f.maxTsMs < dayMs(2)).map(_.path).toSet
+    assert(day1Base.nonEmpty)
+    // one MOR delta patches a day-1 row (newer lsn, ts inside day 1)
+    val patch = Seq((9999L, "U", "conv-1-005", 0, "user", "patched",
+      None: Option[String], new java.sql.Timestamp(dayMs(1) + 500L)))
+      .toDF("lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+    MergeInto(spark, p.table, patch, "day#3", "t", mergeOnRead = true)
+    val snap = p.table.loadCurrent()
+    assert(p.table.hasDeltas(snap))
+    val deltaPaths = p.table.filesOf(snap).filter(_.delta).map(_.path).toSet
+
+    // slice day 1: sees the patched row; scans day-1 base + deltas ONLY
+    val slice = p.table.readSlice(spark, dayMs(1), dayMs(2) - 1)
+    val rows = slice.collect()
+    assert(rows.length == 10)
+    assert(rows.exists(_.getAs[String]("text") == "patched"))
+    assert(!rows.exists(r => r.getAs[String]("conv_id") == "conv-1-005" &&
+      r.getAs[String]("text") != "patched"), "stale pre-delta row leaked")
+    val scanned = slice.inputFiles.map(f =>
+      java.nio.file.Paths.get(new java.net.URI(f)).toString).toSet
+    assert(scanned == day1Base ++ deltaPaths,
+      s"MOR slice scanned ${scanned.size} files, expected day-1 base " +
+        s"(${day1Base.size}) + deltas (${deltaPaths.size})")
+    // slice day 0: untouched day's answer, still no day-1/2 base scan
+    val slice0 = p.table.readSlice(spark, dayMs(0), dayMs(1) - 1)
+    assert(slice0.count() == 10)
+    val scanned0 = slice0.inputFiles.map(f =>
+      java.nio.file.Paths.get(new java.net.URI(f)).toString).toSet
+    assert(scanned0.intersect(day1Base).isEmpty &&
+      deltaPaths.subsetOf(scanned0))
+  }
+
+  test("rescale never rebases: a commit racing it aborts it cleanly; rerun succeeds") {
+    import graft.table._
+    val tbl = new ChronicleTable(tmpDir("table-rescale-race"))
+    def file(b: Int, n: String, lo: String, hi: String) =
+      DataFileMeta(s"/fake/bucket=$b/$n.parquet", 1L, b, lo, hi, 0L, 0L)
+    def lin(key: String) = LineageEntry(key, "t", -1, -1, 0, 0, 0, 0L, Map.empty, -1L)
+    var s = tbl.create(graft.model.Model.physicalSchemaV1, 2)
+    s = tbl.commit(s, PendingCommit("seed#0", Nil,
+      Seq(file(0, "a0", "a", "b"), file(1, "b0", "c", "d")), None, lin("seed#0")))
+
+    val base = tbl.loadCurrent()
+    // a merge-like writer that only ADDS (removes nothing) wins the race —
+    // the exact shape the removed-liveness check cannot see
+    tbl.commit(base, PendingCommit("w#0", Nil,
+      Seq(file(0, "a1", "e", "f")), None, lin("w#0")))
+    // the stale rescale covers base's inventory but NOT the winner's a1:
+    // rebase must refuse (carrying a1 would hide it from new-bucket pruning)
+    val e = intercept[IllegalStateException] {
+      tbl.commit(base, PendingCommit("rescale#0-1",
+        Seq(file(0, "a0", "", "").path, file(1, "b0", "", "").path),
+        Seq(DataFileMeta("/fake/bucket=3/r0.parquet", 2L, 3, "a", "d", 0L, 0L)),
+        None, lin("rescale#0-1"), newNumBuckets = Some(4)))
+    }
+    assert(e.getMessage.contains("rescale") || e.getMessage.contains("cover"))
+    // nothing half-landed; a rescale re-planned on the CURRENT snapshot works
+    val cur = tbl.loadCurrent()
+    assert(cur.numBuckets == 2 && tbl.filesOf(cur).size == 3)
+    val ok = tbl.commit(cur, PendingCommit("rescale#0-2",
+      tbl.filesOf(cur).map(_.path),
+      Seq(DataFileMeta("/fake/bucket=3/r1.parquet", 3L, 3, "a", "f", 0L, 0L)),
+      None, lin("rescale#0-2"), newNumBuckets = Some(4)))
+    assert(ok.numBuckets == 4 && tbl.filesOf(ok).map(_.path) ==
+      Seq("/fake/bucket=3/r1.parquet"))
+    // and a rescale that misses live files is refused even WITHOUT a race
+    intercept[IllegalStateException] {
+      tbl.commit(tbl.loadCurrent(), PendingCommit("rescale#0-3", Nil,
+        Seq(DataFileMeta("/fake/bucket=0/r2.parquet", 1L, 0, "a", "b", 0L, 0L)),
+        None, lin("rescale#0-3"), newNumBuckets = Some(8)))
+    }
+  }
+
+  test("concurrent base-file adds with overlapping keys in one bucket abort the rebase (no duplicate keys)") {
+    import graft.table._
+    val tbl = new ChronicleTable(tmpDir("table-newkey-race"))
+    def file(b: Int, n: String, lo: String, hi: String, delta: Boolean = false) =
+      DataFileMeta(s"/fake/bucket=$b/$n.parquet", 1L, b, lo, hi, 0L, 0L, delta)
+    def lin(key: String) = LineageEntry(key, "t", -1, -1, 0, 0, 0, 0L, Map.empty, -1L)
+    var s = tbl.create(graft.model.Model.physicalSchemaV1, 4)
+    s = tbl.commit(s, PendingCommit("seed#0", Nil,
+      Seq(file(0, "z0", "a", "b")), None, lin("seed#0")))
+    val base = tbl.loadCurrent()
+
+    // both writers insert the SAME brand-new key "k" into bucket 2 —
+    // neither removes anything, so the removed-liveness rebase check alone
+    // would let both land and reads would see the key twice
+    tbl.commit(base, PendingCommit("w1#0", Nil,
+      Seq(file(2, "m1", "k", "k")), None, lin("w1#0")))
+    val e = intercept[IllegalStateException] {
+      tbl.commit(base, PendingCommit("w2#0", Nil,
+        Seq(file(2, "m2", "k", "k")), None, lin("w2#0")))
+    }
+    assert(e.getMessage.contains("key"))
+    assert(tbl.filesOf(tbl.loadCurrent()).count(_.bucket == 2) == 1)
+
+    // a merge-on-read DELTA racing the same way still rebases — read-time
+    // LWW resolves per-key versions, so deltas never need the abort
+    val base2 = tbl.loadCurrent()
+    tbl.commit(base2, PendingCommit("w3#0", Nil,
+      Seq(file(2, "m3", "k", "k")), None, lin("w3#0")))
+    val ok = tbl.commit(base2, PendingCommit("w4#0", Nil,
+      Seq(file(2, "d1", "k", "k", delta = true)), None, lin("w4#0")))
+    assert(tbl.filesOf(ok).exists(_.delta))
+
+    // disjoint-bucket adds keep rebasing freely (the compaction-vs-merge case)
+    val base3 = tbl.loadCurrent()
+    tbl.commit(base3, PendingCommit("w5#0", Nil,
+      Seq(file(1, "p1", "q", "q")), None, lin("w5#0")))
+    val ok2 = tbl.commit(base3, PendingCommit("w6#0", Nil,
+      Seq(file(3, "p2", "q", "q")), None, lin("w6#0")))
+    assert(ok2.version == base3.version + 2)
   }
 
   test("compaction GCs tombstones older than the horizon") {
