@@ -203,6 +203,20 @@ object RunCdc {
         println(s"  sink $s: v${snap.version} rows=${snap.totalRows}")
       }
 
+    // chain <srcTableRoot> <dstTableRoot> [numBuckets]: ship the upstream
+    // table's net changes into a downstream ChronicleTable (pipeline
+    // chaining, the reference's SuroSink -> next suro server,
+    // SuroSink.java:15-38) — exactly-once, per-source marks preserved,
+    // changelog file-pruned; rerun to tail again
+    case "chain" =>
+      val src = new graft.table.ChronicleTable(args(1))
+      val dst = new graft.table.ChronicleTable(args(2))
+      val nb = if (args.length > 3) args(3).toInt else 16
+      val polls = Chain.drain(spark, src, dst, nb)
+      val snap = dst.loadCurrent()
+      println(s"chained $polls polls; downstream v${snap.version} " +
+        s"rows=${snap.totalRows} cursor=${snap.cursors(Chain.cursorKey(args(1)))}")
+
     // serve <tableRoot> <port>: standalone live status endpoint (the
     // reference's StatusServer/HealthCheck, StatusServer.java:46-56) —
     // /healthcheck and /stats off the table metadata + metrics ledger,
