@@ -145,6 +145,74 @@ object DocDedup {
       .orderBy("a", "b")
   }
 
+  /** Connected-component clustering of the LSH near-duplicate pair graph:
+    * every document that appears in a [[lshPairs]] pair is labeled with its
+    * component's MINIMUM doc_id as the canonical representative — the
+    * keep-one-per-cluster primitive of a dedup pipeline (pairs alone can't
+    * drive removal: near-duplication is transitive through chains A~B~C
+    * even when A and C never share a band). Output: (doc_id, cluster_rep,
+    * cluster_size, is_rep), ordered by doc_id; singleton documents are
+    * absent (they are their own trivial cluster).
+    *
+    * Algorithm: iterative min-label propagation to the exact fixpoint —
+    * each round every node takes the minimum label among itself and its
+    * neighbors; rounds = component diameter (near-dup clusters are
+    * shallow). Each round is one shuffle-by-node aggregate; the converged
+    * label table is checkpointed through parquet so the returned plan has
+    * flat lineage and no pinned executor memory (iterating DataFrames
+    * otherwise doubles their lineage per round — the standard large-scale
+    * connected-components discipline; at extreme diameters the same loop
+    * upgrades to the published large-star/small-star alternation, which
+    * converges in O(log n) rounds over the identical per-round shuffles).
+    */
+  def lshClusterReps(spark: SparkSession, dir: String,
+      maxRounds: Int = 40): DataFrame = {
+    val pairs = lshPairs(spark, dir).select("a", "b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .toDF("src", "dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = edges.select(col("src").as("node")).distinct()
+        .withColumn("lbl", col("node"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < maxRounds) {
+        val nbrMin = edges
+          .join(labels.select(col("node").as("dst"), col("lbl").as("dlbl")),
+            Seq("dst"))
+          .groupBy(col("src").as("node")).agg(min("dlbl").as("nmin"))
+        val next = labels
+          .join(nbrMin, Seq("node"), "left")
+          .select(col("node"),
+            least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        changed = next
+          .join(labels.select(col("node"), col("lbl").as("old")), Seq("node"))
+          .filter(col("lbl") =!= col("old")).count()
+        labels.unpersist()
+        labels = next
+        rounds += 1
+      }
+      require(changed == 0, s"label propagation did not converge in $maxRounds rounds")
+      // flat-lineage checkpoint of the (small: near-dup docs only) label
+      // table — the returned plan must not re-run the iteration per action
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-cc").toString
+      labels.write.mode("overwrite").parquet(ckpt)
+      labels.unpersist()
+      val w = Window.partitionBy("cluster_rep")
+      spark.read.parquet(ckpt)
+        .select(col("node").as("doc_id"), col("lbl").as("cluster_rep"))
+        .withColumn("cluster_size", count(lit(1)).over(w))
+        .withColumn("is_rep", col("doc_id") === col("cluster_rep"))
+        .orderBy("doc_id")
+    } finally {
+      pairs.unpersist()
+      edges.unpersist()
+    }
+  }
+
   /** 32-bit SimHash over word tokens: bit j set iff the sum over tokens of
     * (2*bit_j(md5Long(token)) - 1) is positive. Integer-exact.
     */

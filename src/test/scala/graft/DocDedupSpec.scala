@@ -57,6 +57,51 @@ class DocDedupSpec extends SparkSpec {
     assert(!lsh.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("LSH cluster reps: transitive closure of the pair graph, min-id canonical") {
+    // chained corpus: 0~1 and 1~2 are near-dups but 0 and 2 drift further
+    // apart — the component {0,1,2} must still share one representative
+    // (pairs alone cannot drive keep-one-per-cluster removal)
+    val d = tmpDir("docs-chain")
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega " +
+      "one two three four five six seven eight nine ten eleven twelve"
+    Seq(
+      (0L, base, "en", "web", 0L),
+      (1L, base.replace("five six", "5 6"), "en", "web", 0L),
+      (2L, base.replace("five six", "5 6").replace("alpha beta", "a b"),
+        "en", "web", 0L),
+      (3L, "entirely unrelated text with different words about query " +
+        "engines and columnar formats and vectorized execution pipelines " +
+        "running on distributed clusters with shuffle services", "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+
+    val pairs = DocDedup.lshPairs(spark, d)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val reps = DocDedup.lshClusterReps(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_rep"), r.getAs[Long]("cluster_size"),
+          r.getAs[Boolean]("is_rep"))).toMap
+    // every pair's endpoints share one representative (closure property)
+    pairs.foreach { case (a, b) =>
+      assert(reps(a)._1 == reps(b)._1, s"pair ($a,$b) split across clusters")
+    }
+    // the chain {0,1,2} collapses to rep 0 even if (0,2) is not a pair
+    assert(pairs.contains((0L, 1L)) && pairs.contains((1L, 2L)))
+    assert(reps(0L) == (0L, 3L, true))
+    assert(reps(1L)._1 == 0L && reps(2L)._1 == 0L)
+    assert(!reps.contains(3L), "singleton doc must not appear")
+    // representative is the component minimum; sizes count members
+    reps.groupBy(_._2._1).foreach { case (rep, members) =>
+      assert(members.keys.min == rep)
+      members.values.foreach { case (_, size, _) =>
+        assert(size == members.size)
+      }
+    }
+    // no executor memory left pinned by the iteration
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("simhash: identical docs get identical hashes, near-dups small hamming distance") {
     val sh = DocDedup.simhash(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
