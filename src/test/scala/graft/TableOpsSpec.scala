@@ -657,6 +657,33 @@ class TableOpsSpec extends SparkSpec {
     assert(prunedLegacy.map(_.path).toSet == day1 + "/nonexistent/legacy.parquet")
   }
 
+  test("footer stats: driver-pool and distributed paths produce identical manifests") {
+    val batch = (0 until 200).map { k =>
+      (k.toLong, "I", f"conv-$k%04d", k % 4, "user", s"text $k",
+        None: Option[String], new java.sql.Timestamp(1704067200000L + k * 1000L))
+    }.toDF("lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+    def metasWith(threshold: Int): Seq[(Long, Int, String, String, Long, Long, Long, Long)] = {
+      val saved = MergeInto.driverFooterThreshold
+      MergeInto.driverFooterThreshold = threshold
+      try {
+        val p = new CdcPipeline(PipelineConfig("", tmpDir(s"table-footer-$threshold"),
+          numBuckets = 4))
+        p.ensureTable()
+        MergeInto(spark, p.table, batch, "f#0", "t")
+        p.table.filesOf(p.table.loadCurrent())
+          .map(f => (f.rows, f.bucket, f.minKey, f.maxKey,
+            f.minTsMs, f.maxTsMs, f.minLsn, f.maxLsn))
+          .sortBy(t => (t._2, t._3))
+      } finally MergeInto.driverFooterThreshold = saved
+    }
+    val viaDriver = metasWith(Int.MaxValue) // driver thread pool
+    val viaJob = metasWith(0)               // distributed Spark job
+    assert(viaDriver == viaJob)
+    assert(viaDriver.forall { case (rows, b, _, _, tsLo, tsHi, lsnLo, lsnHi) =>
+      rows > 0 && b >= 0 && tsLo > 0 && tsHi >= tsLo && lsnLo >= 0 && lsnHi >= lsnLo
+    })
+  }
+
   test("CRC integrity: corrupted payloads divert to quarantine, valid rows pass") {
     val clean = Seq((1L, "a", "hello"), (2L, "b", "world"), (3L, "c", "spark"))
       .toDF("lsn", "conv_id", "text")
