@@ -218,7 +218,7 @@ class CdcPipeline(val cfg: PipelineConfig) {
     * probe). Checked at every batch boundary — never mid-write, so a
     * drain always stops on a committed snapshot.
     */
-  private def diskFull(): Boolean =
+  private[cdc] def diskFull(): Boolean =
     cfg.minFreeBytes > 0L && {
       val free = freeSpaceProbe()
       val full = free < cfg.minFreeBytes

@@ -175,6 +175,9 @@ class MultiSinkPipeline(val cfg: PipelineConfig, val routes: Seq[RouteConfig],
   }
 
   def runOnce(spark: SparkSession): Option[Seq[(String, MergeResult)]] = {
+    // same disk guard as the single-sink drain: pause intake at the batch
+    // boundary when the sinks' filesystem runs short
+    if (shell.diskFull()) return None
     // one route snapshot governs the whole batch (hot-reload boundary)
     val rs = currentRoutes()
     val names = rs.map(_.sink) :+ defaultSink

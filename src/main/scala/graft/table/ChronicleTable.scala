@@ -196,9 +196,11 @@ case class Snapshot(
     */
   def tombstoneHorizon: Long = {
     val marks = hwms
-    // every source prefix seen by the ledger must be covered by a mark
+    // every source prefix seen by the ledger must be covered by a mark;
+    // maintenance prefixes (compact/rescale) and the chain's cursor-only
+    // placeholder (_chain: never carries rows) are not sources
     val prefixes = (floors.keys ++ committedBatches.keys.map(_.takeWhile(_ != '#')))
-      .filterNot(p => p == "compact" || p == "rescale").toSet
+      .filterNot(p => p == "compact" || p == "rescale" || p == "_chain").toSet
     if (unordered.nonEmpty || marks.isEmpty || !prefixes.forall(marks.contains))
       Long.MinValue
     else marks.values.min
