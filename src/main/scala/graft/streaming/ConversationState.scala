@@ -19,9 +19,21 @@ object ConversationState {
       events: Long)
 
   /** Checkpointed per-conversation state (public: Catalyst generates
-    * constructor calls for the state encoder).
+    * constructor calls for the state encoder): per-turn last-writer-wins
+    * (turn_idx -> (winning lsn, deleted?)) plus a delivery counter.
+    *
+    * Per-TURN LWW, not a per-conversation high-water-mark guard, on
+    * purpose: the file source's epochs split the log mid-segment, so an
+    * epoch can carry lsn 750 of a conversation while lsn 700 (possibly a
+    * DELETE) arrives only in the NEXT epoch — a global mark would
+    * misclassify it as a dup redelivery and skip it (observed as a
+    * resurrected turn under an unlucky file listing). LWW per turn makes
+    * the fold order-independent: any interleaving of epochs converges to
+    * the same state, the same property the main merge path relies on for
+    * unordered sources.
     */
-  case class St(turns: Seq[Int], hwm: Long, events: Long)
+  case class TurnSt(lsn: Long, deleted: Boolean)
+  case class St(turns: Map[Int, TurnSt], events: Long)
 
   def track(events: Dataset[ChangeEvent]): Dataset[ConvProgress] = {
     import events.sparkSession.implicits._
@@ -30,29 +42,28 @@ object ConversationState {
       .flatMapGroupsWithState[St, ConvProgress](
         OutputMode.Append, GroupStateTimeout.NoTimeout()) {
         (convId: String, batch: Iterator[ChangeEvent], state: GroupState[St]) =>
-          val st0 = state.getOption.getOrElse(St(Seq.empty, -1L, 0L))
-          // rows within an epoch arrive unordered; apply in LSN order
-          val st = batch.toSeq.sortBy(_.lsn).foldLeft(st0) { (s, e) =>
-            if (e.lsn <= s.hwm) s.copy(events = s.events + 1) // dup redelivery
-            else {
-              val turns =
-                if (e.op == "D") s.turns.filterNot(_ == e.turn_idx)
-                else if (s.turns.contains(e.turn_idx)) s.turns
-                else s.turns :+ e.turn_idx
-              St(turns, e.lsn, s.events + 1)
-            }
+          val st0 = state.getOption.getOrElse(St(Map.empty, 0L))
+          val st = batch.foldLeft(st0) { (s, e) =>
+            val turns =
+              if (s.turns.get(e.turn_idx).forall(_.lsn < e.lsn))
+                s.turns + (e.turn_idx -> TurnSt(e.lsn, e.op == "D"))
+              else s.turns // dup/older redelivery for this turn: no-op
+            St(turns, s.events + 1)
           }
           state.update(st)
-          Iterator.single(ConvProgress(convId, st.turns.size, st.hwm, st.events))
+          val hwm = if (st.turns.isEmpty) -1L else st.turns.values.map(_.lsn).max
+          Iterator.single(ConvProgress(convId,
+            st.turns.values.count(!_.deleted), hwm, st.events))
       }
   }
 
-  /** Batch-mode equivalent used by tests to cross-check the streaming run. */
+  /** Batch-mode equivalent used by tests to cross-check the streaming run:
+    * the same per-turn LWW reduction (equal to a sequential fold of the
+    * ordered log — a turn's final state is its last change).
+    */
   def batchReference(spark: SparkSession, events: Seq[ChangeEvent]): Map[String, (Int, Long)] =
-    events.sortBy(_.lsn).distinctBy(_.lsn).groupBy(_.conv_id).map { case (c, evs) =>
-      val turns = evs.foldLeft(Set.empty[Int]) { (s, e) =>
-        if (e.op == "D") s - e.turn_idx else s + e.turn_idx
-      }
-      c -> (turns.size, evs.map(_.lsn).max)
+    events.groupBy(_.conv_id).map { case (c, evs) =>
+      val winners = evs.groupBy(_.turn_idx).values.map(_.maxBy(_.lsn))
+      c -> (winners.count(_.op != "D"), evs.map(_.lsn).max)
     }
 }
