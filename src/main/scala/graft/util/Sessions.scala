@@ -35,13 +35,29 @@ object Sessions {
     b.config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
 
   /** Apply executor-process plumbing when the master launches separate
-    * executor JVMs; no-op for in-process masters.
+    * executor JVMs; no-op for in-process masters. `execCores` > 0 pins each
+    * executor JVM's view of the machine to its core grant
+    * (-XX:ActiveProcessorCount): availableProcessors() otherwise reports
+    * EVERY host core inside EVERY executor, so N co-located executors spawn
+    * N full-width GC/netty/fork-join pools that storm the box — on real
+    * clusters the container's cpuset does this for free. Observed here:
+    * a 4-executor parquet write ran 1.4x SLOWER than 1 executor until
+    * pinned.
     */
-  def tuneForMaster(b: SparkSession.Builder, master: String): SparkSession.Builder = {
+  private val LocalCluster = """local-cluster\[\s*\d+\s*,\s*(\d+)\s*,\s*\d+\s*\]""".r
+
+  def tuneForMaster(b: SparkSession.Builder, master: String,
+      execCores: Int = 0): SparkSession.Builder = {
     if (master.startsWith("local-cluster")) {
+      val cores = if (execCores > 0) execCores else master match {
+        case LocalCluster(c) => c.toInt
+        case _ => 0
+      }
+      val pin =
+        if (cores > 0) Seq(s"-XX:ActiveProcessorCount=$cores") else Nil
       b.config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
         .config("spark.executor.extraJavaOptions",
-          (jdk17AddOpens :+ "-XX:+UseParallelGC").mkString(" "))
+          (jdk17AddOpens ++ pin :+ "-XX:+UseParallelGC").mkString(" "))
     }
     tuneForEngine(b)
   }
