@@ -13,6 +13,7 @@ import org.apache.spark.sql.SparkSession
   *   run      <binlogDir> <tableRoot> [segmentsPerBatch] [numBuckets] [saltBuckets]
   *   stream   <binlogDir> <tableRoot> <checkpointDir> [maxFilesPerTrigger]
   *   state    <tableRoot> [version]
+  *   get      <tableRoot> <convId>
   *   lineage  <tableRoot>
   * }}}
   */
@@ -95,6 +96,15 @@ object RunCdc {
         else p.currentState(spark)
       println(s"rows=${df.count()}")
       df.show(20, truncate = false)
+
+    case "get" =>
+      // point lookup: one conversation's visible turns, planned from
+      // metadata (one bucket manifest; scan = that bucket's files only)
+      val t = new graft.table.ChronicleTable(args(1))
+      val df = t.readKey(spark, args(2)).orderBy("turn_idx")
+      println(s"rows=${df.count()} (bucket ${graft.table.ChronicleTable
+        .bucketOf(args(2), t.loadCurrent().numBuckets)})")
+      df.show(50, truncate = false)
 
     case "lineage" =>
       val p = new CdcPipeline(PipelineConfig("", args(1)))

@@ -163,6 +163,20 @@ object CdcQueries {
         .drop(Model.systemColumns: _*))
       .orderBy("conv_id", "turn_idx")
 
+  /** Point lookup on the replayed table: one conversation's visible turns,
+    * planned from metadata alone ([[ChronicleTable.readKey]] — the key's
+    * hash bucket is computed driver-side, so the scan touches one bucket's
+    * files instead of the table). The looked-up key is the smallest visible
+    * conv_id, chosen identically by the oracle.
+    */
+  def pointLookup(spark: SparkSession, dir: String): DataFrame = {
+    val t = replayTable(spark, dir)
+    val k = t.read(spark).filter(!col(Model.deletedColumn))
+      .agg(min("conv_id")).collect()(0).getString(0)
+    withMs(t.readKey(spark, k).drop(Model.systemColumns: _*))
+      .orderBy("turn_idx")
+  }
+
   /** SCD type-2 history: every key's version chain with LSN validity
     * ranges — each I/U change opens a version valid [lsn, next change's
     * lsn); a delete closes the chain without opening one; the open version

@@ -812,6 +812,39 @@ class ChronicleTable(val root: String) {
     merged.filter(rowFilter)
   }
 
+  /** Point lookup: every current row of ONE key (a conversation's visible
+    * turns), planned from metadata alone — the key's hash bucket is
+    * computed driver-side ([[ChronicleTable.bucketOf]] mirrors the write
+    * path's [[ChronicleTable.bucketExpr]]), so planning opens exactly one
+    * bucket manifest and the scan touches only that bucket's files whose
+    * key range covers the key: O(files-in-one-bucket) regardless of table
+    * size — the serving-path read a 100 TB transcript store needs (the
+    * reference's ES sink serves exactly this doc-id lookup,
+    * ElasticSearchSink.java / DefaultIndexInfoBuilder.java:66-73).
+    * Merge-on-read deltas in the bucket LWW-merge as usual; key-range
+    * pruning is sound for them too (a delta file whose range excludes the
+    * key cannot displace or tombstone it). Tombstoned keys return no rows.
+    */
+  def readKey(spark: SparkSession, convId: String): DataFrame = {
+    val snap = loadCurrent()
+    val b = ChronicleTable.bucketOf(convId, snap.numBuckets)
+    val schema = snap.schema
+    val files = snap.manifestList
+      .filter(m => m.bucket == b && m.minKey <= convId && m.maxKey >= convId)
+      .flatMap(m => loadManifest(m.path))
+      .filter(f => f.minKey <= convId && f.maxKey >= convId)
+    val scan =
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(files.map(_.path): _*)
+    val merged =
+      if (files.exists(_.delta)) ChronicleTable.mergeDeltas(scan, schema)
+      else scan
+    merged.filter(col("conv_id") === convId &&
+      !col(graft.model.Model.deletedColumn))
+  }
+
   /** The complete lineage ledger: every commit's entry across all
     * RETAINED snapshot versions, in commit order (expiry drops the history
     * of expired versions along with their manifests).
@@ -932,6 +965,20 @@ object ChronicleTable {
     */
   def bucketExpr(keyCol: String, numBuckets: Int): org.apache.spark.sql.Column =
     pmod(xxhash64(col(keyCol)), lit(numBuckets)).cast("int")
+
+  /** Driver-side mirror of [[bucketExpr]] for a single key — evaluates the
+    * SAME Catalyst expression (xxhash64 seed 42, pmod) on a literal, so
+    * the two can never drift. Powers metadata-only point-lookup planning.
+    */
+  def bucketOf(key: String, numBuckets: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Pmod, XxHash64}
+    val h = new XxHash64(Seq(Literal.create(key,
+      org.apache.spark.sql.types.StringType)))
+    Pmod(h, Literal.create(numBuckets.toLong,
+        org.apache.spark.sql.types.LongType))
+      .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+      .asInstanceOf[Long].toInt
+  }
 
   /** Per-key last-writer-wins merge of a base+delta scan: one shuffle by
     * key + one reduce-side sort + row_number filter — the same plan shape

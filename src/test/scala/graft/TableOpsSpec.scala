@@ -721,4 +721,48 @@ class TableOpsSpec extends SparkSpec {
     val emitted = spark.sql("select sum(n) from wm_counts").as[Long].collect()(0)
     assert(emitted > 0 && emitted <= 2000 + cfg.numEvents / 100)
   }
+
+  test("point lookup scans one bucket's files only and equals the filtered full scan") {
+    import graft.table.ChronicleTable
+    val cfg = BinlogConfig(numEvents = 1500, numConversations = 12,
+      segmentSize = 500, dupPct = 5, pDelete = 0.15)
+    val src = tmpDir("binlog-pk")
+    BinlogGenerator.writeSegments(spark, cfg, src)
+    val p = new CdcPipeline(PipelineConfig(src, tmpDir("table-pk"),
+      segmentsPerBatch = 1, numBuckets = 8))
+    p.runAll(spark)
+    val t = p.table
+    val n = t.loadCurrent().numBuckets
+    // the driver-side bucket mirror agrees with the write path's expression
+    // for every key in the table
+    val viaExpr = t.read(spark)
+      .select(col("conv_id"), ChronicleTable.bucketExpr("conv_id", n).as("b"))
+      .distinct().collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    viaExpr.foreach { case (k, b) =>
+      assert(ChronicleTable.bucketOf(k, n) == b, s"bucketOf mismatch for $k")
+    }
+    val k = viaExpr.keys.min
+    val got = t.readKey(spark, k)
+    val expect = t.read(spark).filter(col("conv_id") === k &&
+      !col(graft.model.Model.deletedColumn))
+    assert(got.collect().toSet == expect.collect().toSet)
+    // metadata-only planning: every scanned file is in the key's bucket
+    val b = ChronicleTable.bucketOf(k, n)
+    val scanned = got.inputFiles
+    assert(scanned.nonEmpty && scanned.forall(_.contains(s"bucket=$b/")),
+      s"lookup scanned outside bucket $b: ${scanned.mkString(",")}")
+    // a key the table never saw plans to zero/irrelevant files and no rows
+    assert(t.readKey(spark, "conv-that-does-not-exist").count() == 0)
+
+    // merge-on-read: the lookup LWW-merges the bucket's deltas
+    val m = new CdcPipeline(PipelineConfig(src, tmpDir("table-pk-mor"),
+      segmentsPerBatch = 1, numBuckets = 8, mergeOnRead = true))
+    m.runAll(spark)
+    val gotMor = m.table.readKey(spark, k)
+      .select("conv_id", "turn_idx", "role", "text")
+    val expMor = m.table.read(spark).filter(col("conv_id") === k &&
+      !col(graft.model.Model.deletedColumn))
+      .select("conv_id", "turn_idx", "role", "text")
+    assert(gotMor.collect().toSet == expMor.collect().toSet)
+  }
 }
