@@ -12,9 +12,20 @@ import org.apache.spark.sql.functions._
   * small files continuously and relies on downstream batching,
   * LocalFileSink.java:183-252; a lakehouse table must compact instead).
   * Compaction rewrites the buckets whose file count exceeds a threshold
-  * into one range-sorted file per shuffle partition and drops tombstones
-  * older than `tombstoneHorizonLsn` (a tombstone only needs to outlive the
-  * maximum redelivery window of the source).
+  * and drops tombstones older than `tombstoneHorizonLsn` (a tombstone only
+  * needs to outlive the maximum redelivery window of the source).
+  *
+  * The rewrite is a SORT-ORDERED, SIZE-BOUNDED split (Iceberg's bin-pack +
+  * sort rewrite): rows range-partition on (bucket, conv_id) into
+  * ~`targetRowsPerFile` slices, so a compacted bucket becomes N files with
+  * PAIRWISE-DISJOINT key ranges instead of one monolithic file (a 100 TB
+  * table's bucket is TBs — it must split) — and because the manifest's
+  * per-file key bounds are then genuinely selective, a point lookup
+  * ([[graft.table.ChronicleTable.readKey]]) or key-range scan prunes to a
+  * single file per bucket. Range partitioning's sampling pass over the
+  * victims is acceptable HERE because compaction is periodic maintenance;
+  * the per-batch merge write stays hash-split exactly to avoid that
+  * second pass on the hot path (MergeInto.writeStaged).
   *
   * Runs through the same atomic commit protocol as MERGE, so readers always
   * see either the old or the new file set, and a crash mid-compaction
@@ -35,7 +46,13 @@ object Compaction {
 
   def apply(spark: SparkSession, table: ChronicleTable,
       maxFilesPerBucket: Int = 4,
-      tombstoneHorizonLsn: Long = Long.MinValue): CompactionResult = {
+      tombstoneHorizonLsn: Long = Long.MinValue,
+      /** Target rows per rewritten file. The pre-GC victim row count from
+        * the manifest (free) sizes the range-partition count; the default
+        * keeps small tables at one file per bucket while bounding file
+        * size on large ones.
+        */
+      targetRowsPerFile: Long = 4000000L): CompactionResult = {
     val base = table.loadCurrent()
     val byBucket = table.filesOf(base).groupBy(_.bucket)
     // a bucket holding ANY merge-on-read delta is always a target: folding
@@ -61,12 +78,18 @@ object Compaction {
     val kept = merged.filter(!horizonDrop)
 
     val staging = table.newStagingDir()
-    // hash-repartition by bucket (not by range): with partitionBy splitting
-    // per bucket value at write, this yields exactly ONE file per compacted
-    // bucket even when buckets collide into a shuffle partition
+    // Range-partition on (bucket, conv_id): each shuffle partition is a
+    // contiguous (bucket, key) slice of ~targetRowsPerFile rows, and
+    // partitionBy splits the rare bucket-straddling slice at the bucket
+    // edge — so every produced file covers a contiguous, disjoint key
+    // range WITHIN its bucket. Partition count from the manifest's victim
+    // row count (pre-GC upper bound; no extra job).
+    val parts = math.max(1,
+      math.min((victims.map(_.rows).sum / math.max(1L, targetRowsPerFile) + 1).toInt,
+        1 << 15))
     MergeInto.withMicrosTimestamps(spark)(kept
       .withColumn("bucket", ChronicleTable.bucketExpr("conv_id", base.numBuckets))
-      .repartition(math.max(1, targets.size), col("bucket"))
+      .repartitionByRange(parts, col("bucket"), col("conv_id"))
       .sortWithinPartitions("bucket", "conv_id", "turn_idx")
       .write.partitionBy("bucket").mode("overwrite").parquet(staging))
 

@@ -41,6 +41,44 @@ class TableOpsSpec extends SparkSpec {
     assert(r2.compactedBuckets == 0)
   }
 
+  test("compaction range-splits big buckets into size-bounded files with disjoint key ranges") {
+    val cfg = BinlogConfig(numEvents = 3000, numConversations = 30,
+      segmentSize = 750, dupPct = 5)
+    val src = tmpDir("binlog-binpack")
+    BinlogGenerator.writeSegments(spark, cfg, src)
+    val p = new CdcPipeline(PipelineConfig(src, tmpDir("table-binpack"),
+      segmentsPerBatch = 1, numBuckets = 2))
+    p.runAll(spark)
+    val stateBefore = p.currentState(spark).collect().toSeq
+    // tiny target forces multiple files per bucket
+    val r = Compaction(spark, p.table, maxFilesPerBucket = 0,
+      targetRowsPerFile = 100L)
+    assert(r.compactedBuckets == 2)
+    val files = p.table.filesOf(p.table.loadCurrent())
+    val byBucket = files.groupBy(_.bucket)
+    assert(byBucket.values.exists(_.size > 1),
+      s"expected multiple files per bucket, got ${byBucket.view.mapValues(_.size).toMap}")
+    // size bound holds (range split targets ~100 rows per file)
+    assert(files.forall(_.rows <= 300),
+      s"file over size bound: ${files.map(_.rows).max} rows")
+    // within each bucket the key ranges are pairwise disjoint — the
+    // property that makes manifest bounds selective for point lookups
+    byBucket.values.foreach { fs =>
+      val sorted = fs.sortBy(_.minKey)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(a.maxKey < b.minKey,
+          s"overlapping ranges: [${a.minKey},${a.maxKey}] vs [${b.minKey},${b.maxKey}]")
+        case _ => ()
+      }
+    }
+    // state unchanged, and a point lookup now scans exactly ONE file
+    assert(p.currentState(spark).collect().toSeq == stateBefore)
+    val k = stateBefore.map(_.getString(0)).min
+    val scanned = p.table.readKey(spark, k).inputFiles
+    assert(scanned.length == 1,
+      s"point lookup should scan one range-split file, got ${scanned.length}")
+  }
+
   test("bucket rescale mid-drain: state preserved, pruning and merges continue under the new layout") {
     val cfg = BinlogConfig(numEvents = 1800, numConversations = 12,
       segmentSize = 200, dupPct = 5, pDelete = 0.2)
