@@ -444,15 +444,19 @@ object Bench {
         ProtoResult(n, c, 0.0, Nil, skipped = true)
       }.toVector
       var chosen: Option[ProtoResult] = None
-      toRun.iterator
-        .takeWhile(_ => chosen.isEmpty &&
-          (results.forall(_.skipped) || spent < budgetSec))
-        .foreach { case (nLo, ceil) =>
+      toRun.foreach { case (nLo, ceil) =>
+        // rungs the early stop / budget leaves unmeasured still land in the
+        // artifact as skipped WITH their calibration (the full ladder must
+        // always be reconstructible from the JSON)
+        if (chosen.isDefined || !(results.forall(_.skipped) || spent < budgetSec))
+          results :+= ProtoResult(nLo, ceil, 0.0, Nil, skipped = true)
+        else {
           val (eff, trials) = runProtocol(nLo)
           val r = ProtoResult(nLo, ceil, eff, trials, skipped = false)
           results :+= r
           if (eff >= 0.8) chosen = Some(r)
         }
+      }
       results = results.sortBy(-_.nLo)
       val pick = chosen.getOrElse(
         results.filterNot(_.skipped).maxByOption(_.eff).getOrElse(results.last))

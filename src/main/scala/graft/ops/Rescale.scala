@@ -18,9 +18,13 @@ import org.apache.spark.sql.functions._
   * first wins the version race and the rescale aborts cleanly (rebase is
   * impossible once its removed set changed — rerun at a quiet moment).
   *
-  * One pass, one shuffle: the re-bucket repartition carries a sub-split so
-  * hot buckets do not serialize into one writer (same shape as the merge
-  * write path, MergeInto step 6).
+  * The rewrite is range-split like compaction's (repartitionByRange on
+  * (bucket, conv_id), ~targetRowsPerFile rows per file): a full rewrite
+  * already reads the whole table, so the range sampler's extra pass is
+  * proportionally cheap, and the rescaled layout starts life with
+  * size-bounded files whose per-file key ranges are disjoint — manifest
+  * bounds stay selective (point lookups prune to one file) from the first
+  * commit of the new layout.
   */
 object Rescale {
 
@@ -32,7 +36,8 @@ object Rescale {
       addedFiles: Int)
 
   def apply(spark: SparkSession, table: ChronicleTable,
-      newNumBuckets: Int): RescaleResult = {
+      newNumBuckets: Int,
+      targetRowsPerFile: Long = 4000000L): RescaleResult = {
     require(newNumBuckets >= 1, "bucket count must be positive")
     val base = table.loadCurrent()
     if (newNumBuckets == base.numBuckets)
@@ -48,15 +53,13 @@ object Rescale {
       else scan
 
     val staging = table.newStagingDir()
-    val parts = math.max(1, math.min(
-      spark.conf.get("spark.sql.shuffle.partitions").toInt, newNumBuckets * 4))
-    val splitsPerBucket = math.max(1, parts / newNumBuckets)
+    // partition count from manifest row counts (pre-fold upper bound)
+    val parts = math.max(1,
+      math.min((victims.map(_.rows).sum / math.max(1L, targetRowsPerFile) + 1).toInt,
+        1 << 15))
     MergeInto.withMicrosTimestamps(spark)(rows
       .withColumn("bucket", ChronicleTable.bucketExpr("conv_id", newNumBuckets))
-      .withColumn("__split",
-        pmod(xxhash64(col("conv_id"), lit(1)), lit(splitsPerBucket)))
-      .repartition(parts, col("bucket"), col("__split"))
-      .drop("__split")
+      .repartitionByRange(parts, col("bucket"), col("conv_id"))
       .sortWithinPartitions("bucket", "conv_id", "turn_idx")
       .write.partitionBy("bucket").mode("overwrite").parquet(staging))
 

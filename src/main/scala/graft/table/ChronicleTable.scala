@@ -857,8 +857,20 @@ class ChronicleTable(val root: String) {
     * Returns deleted data-file paths. Mirrors the reference's
     * LocalFileSink.cleanUp recovery of improperly-closed files
     * (LocalFileSink.java:313-353).
+    *
+    * `minAgeMs` guards the staged-write race: a CONCURRENT writer's files
+    * are also "unreferenced" between its stage and its commit (staging
+    * dirs live under data/), and deleting them would publish a manifest
+    * of missing files. Only files older than the threshold are deleted —
+    * Iceberg's `remove_orphan_files ... older_than` discipline; true
+    * crash leftovers are old by the time maintenance sees them. Pass 0
+    * only when no concurrent writer can exist (tests, offline repair).
     */
-  def gcOrphans(): Seq[String] = {
+  def gcOrphans(minAgeMs: Long = 3600000L): Seq[String] = {
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    def oldEnough(p: String): Boolean =
+      try Files.getLastModifiedTime(Paths.get(p)).toMillis <= cutoff
+      catch { case _: java.io.IOException => false } // vanished: someone else's
     val snaps = listVersions.map(loadVersion)
     val liveManifests = snaps.flatMap(_.manifestList.map(_.path)).toSet
     val liveData = snaps.flatMap(s => filesOf(s).map(_.path)).toSet
@@ -866,13 +878,13 @@ class ChronicleTable(val root: String) {
       if (!Files.exists(manifestsDir)) Nil
       else Files.list(manifestsDir).iterator().asScala
         .map(_.toString).filter(_.endsWith(".json"))
-        .filterNot(liveManifests).toSeq
+        .filterNot(liveManifests).filter(oldEnough).toSeq
     orphanManifests.foreach(p => Files.deleteIfExists(Paths.get(p)))
     if (!Files.exists(dataDir)) return Nil
     val all = Files.walk(dataDir).iterator().asScala
       .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
       .map(_.toString).toSeq
-    val orphans = all.filterNot(liveData)
+    val orphans = all.filterNot(liveData).filter(oldEnough)
     orphans.foreach(p => Files.deleteIfExists(Paths.get(p)))
     orphans
   }

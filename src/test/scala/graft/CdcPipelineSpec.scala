@@ -248,7 +248,12 @@ class CdcPipelineSpec extends SparkSpec {
 
     // resume with a fresh pipeline instance (new process semantics)
     val pc = new CdcPipeline(PipelineConfig(src, tblB, segmentsPerBatch = 2, numBuckets = 4))
-    val orphans = pc.table.gcOrphans() // crash left staged-but-unpublished files
+    // crash left staged-but-unpublished files. The default age guard must
+    // refuse them while fresh (they could be a concurrent writer's staged
+    // commit); minAgeMs=0 is the offline-repair form for a known-dead
+    // writer, which this test is.
+    assert(pc.table.gcOrphans().isEmpty)
+    val orphans = pc.table.gcOrphans(minAgeMs = 0L)
     assert(orphans.nonEmpty)
     pc.runAll(spark)
 

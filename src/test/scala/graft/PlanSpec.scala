@@ -78,6 +78,17 @@ class PlanSpec extends SparkSpec {
     val pChg = plan(cow.table.readChanges(spark, sinceVersion = 1L))
     assert(pChg.contains("PushedFilters") && pChg.contains("GreaterThan(_lsn"),
       s"changelog _lsn filter not pushed:\n${pChg.linesIterator.take(8).mkString("\n")}")
+
+    // point lookup: bare scan (no merge/shuffle) with the key equality
+    // pushed down to the parquet row groups
+    val k = cow.table.read(spark)
+      .agg(org.apache.spark.sql.functions.min("conv_id"))
+      .collect()(0).getString(0)
+    val pKey = plan(cow.table.readKey(spark, k))
+    assert(!pKey.contains("Exchange") && !pKey.contains("Window"),
+      s"point lookup should stay a bare filtered scan:\n${pKey.linesIterator.take(8).mkString("\n")}")
+    assert(pKey.contains("EqualTo(conv_id"),
+      s"point-lookup key filter not pushed:\n${pKey.linesIterator.take(8).mkString("\n")}")
   }
 
   test("approx profile tracks the exact profile within sketch error") {
