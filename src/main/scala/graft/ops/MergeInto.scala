@@ -204,10 +204,12 @@ object MergeInto {
       StructField(Model.lsnColumn, LongType, nullable = false),
       StructField(Model.deletedColumn, BooleanType, nullable = false),
       StructField(Model.sourceColumn, StringType, nullable = true)))
-    // also true for a pre-`_source` table: its first merge evolves the
-    // snapshot schema to carry the system column (older files read as null)
-    val evolved =
-      physicalSchema.fieldNames.toSeq != base.schema.fieldNames.toSeq
+    // also true for a pre-`_source` table (first merge adds the system
+    // column; older files read as null) and for a TYPE WIDENING (same
+    // names, wider type — name comparison alone would silently drop the
+    // widened schema from the commit)
+    def sig(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
+    val evolved = sig(physicalSchema) != sig(base.schema)
     val srcPrefix = batchKey.takeWhile(_ != '#')
 
     val prep0 = prepared.getOrElse(

@@ -957,19 +957,51 @@ object ChronicleTable {
     m
   }
 
-  /** Merge table schema with an incoming batch schema: existing columns keep
-    * their position and type; genuinely new columns append (nullable).
-    * Type conflicts are rejected — the engine does not silently coerce.
+  /** Lossless widening between two primitive types, or None when neither
+    * losslessly holds the other. The supported promotions are Iceberg's
+    * type-evolution set (int->long, float->double, int/long->double);
+    * files written at the NARROW type stay readable because Spark's
+    * parquet reader natively up-casts when the requested schema is wider.
+    */
+  private def widen(a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType): Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    if (a == b) Some(a)
+    else Set(a, b) match {
+      case s if s == Set[DataType](IntegerType, LongType) => Some(LongType)
+      case s if s == Set[DataType](FloatType, DoubleType) => Some(DoubleType)
+      case s if s == Set[DataType](IntegerType, DoubleType) => Some(DoubleType)
+      case s if s == Set[DataType](LongType, DoubleType) => Some(DoubleType)
+      case _ => None // int<->float et al: not lossless, reject
+    }
+  }
+
+  /** Merge table schema with an incoming batch schema: existing columns
+    * keep their position; genuinely new columns append (nullable); a
+    * column present in both at different PRIMITIVE widths widens to the
+    * larger type (int->long, float->double, int/long->double — Iceberg's
+    * schema-evolution promotions; the snapshot schema drives every read,
+    * and the parquet reader up-casts narrow old files natively). Any other
+    * type conflict is rejected — the engine does not silently coerce.
     */
   def mergeSchemas(table: StructType, batch: StructType): StructType = {
     val existing = table.fieldNames.toSet
-    val conflicts = batch.fields.filter(f =>
-      existing.contains(f.name) && table(f.name).dataType != f.dataType)
-    require(conflicts.isEmpty,
-      s"incompatible schema change for ${conflicts.map(_.name).mkString(",")}")
+    val byName = batch.fields.map(f => f.name -> f).toMap
+    val merged = table.fields.map { f =>
+      byName.get(f.name) match {
+        case Some(bf) if bf.dataType != f.dataType =>
+          widen(f.dataType, bf.dataType) match {
+            case Some(t) => f.copy(dataType = t)
+            case None => throw new IllegalArgumentException(
+              s"incompatible schema change for ${f.name}: " +
+                s"${f.dataType.simpleString} vs ${bf.dataType.simpleString}")
+          }
+        case _ => f
+      }
+    }
     val added = batch.fields.filterNot(f => existing.contains(f.name))
       .map(f => StructField(f.name, f.dataType, nullable = true))
-    StructType(table.fields ++ added)
+    StructType(merged ++ added)
   }
 
   /** Bucket assignment expression — the table's partition transform.

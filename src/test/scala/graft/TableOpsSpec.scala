@@ -760,6 +760,50 @@ class TableOpsSpec extends SparkSpec {
     assert(emitted > 0 && emitted <= 2000 + cfg.numEvents / 100)
   }
 
+  test("schema evolution widens primitive types (int->long); old narrow files stay readable") {
+    val tbl = tmpDir("table-widen")
+    val p = new CdcPipeline(PipelineConfig("", tbl, numBuckets = 2))
+    p.ensureTable()
+    def batch(rows: Seq[(Long, String, Int, Any)]) = {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val scoreType = rows.head._4 match {
+        case _: Int => IntegerType
+        case _: Long => LongType
+        case _: String => StringType
+      }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (lsn, c, t, s) =>
+          Row(lsn, "I", c, t, "user", s"text $lsn", null, new java.sql.Timestamp(0L), s)
+        }),
+        StructType(Seq(
+          StructField("lsn", LongType), StructField("op", StringType),
+          StructField("conv_id", StringType), StructField("turn_idx", IntegerType),
+          StructField("role", StringType), StructField("text", StringType),
+          StructField("tool", StringType), StructField("ts", TimestampType),
+          StructField("score", scoreType))))
+    }
+    // first merge: score lands as INT
+    MergeInto(spark, p.table, batch(Seq((1L, "conv-a", 0, 7), (2L, "conv-b", 0, 9))),
+      "w#0", "t")
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    assert(p.table.loadCurrent().schema("score").dataType == IntegerType)
+    // second merge ships score as LONG: the snapshot schema widens, the
+    // narrow first-generation file reads through the wider schema natively
+    MergeInto(spark, p.table, batch(Seq((3L, "conv-c", 0, 5000000000L))), "w#1", "t")
+    val snap = p.table.loadCurrent()
+    assert(snap.schema("score").dataType == LongType)
+    val got = p.table.read(spark)
+      .select("conv_id", "score").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("conv-a" -> 7L, "conv-b" -> 9L, "conv-c" -> 5000000000L))
+    // a lossy change is rejected, not coerced
+    val err = intercept[Exception] {
+      MergeInto(spark, p.table, batch(Seq((4L, "conv-d", 0, "not-a-number"))), "w#2", "t")
+    }
+    assert(err.getMessage.contains("incompatible schema change"))
+  }
+
   test("point lookup scans one bucket's files only and equals the filtered full scan") {
     import graft.table.ChronicleTable
     val cfg = BinlogConfig(numEvents = 1500, numConversations = 12,
