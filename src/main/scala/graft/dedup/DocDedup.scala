@@ -154,21 +154,69 @@ object DocDedup {
     * cluster_size, is_rep), ordered by doc_id; singleton documents are
     * absent (they are their own trivial cluster).
     *
-    * Algorithm: iterative min-label propagation to the exact fixpoint —
-    * each round every node takes the minimum label among itself and its
-    * neighbors; rounds = component diameter (near-dup clusters are
-    * shallow). Each round is one shuffle-by-node aggregate; the converged
-    * label table is checkpointed through parquet so the returned plan has
-    * flat lineage and no pinned executor memory (iterating DataFrames
-    * otherwise doubles their lineage per round — the standard large-scale
-    * connected-components discipline; at extreme diameters the same loop
-    * upgrades to the published large-star/small-star alternation, which
-    * converges in O(log n) rounds over the identical per-round shuffles).
+    * Algorithm, SIZE-GATED on the pair count (one cheap action on the
+    * already-persisted pairs — the adaptive-planning move):
+    *
+    *  - pair set fits the driver (<= `smallGraphMaxPairs`, the common case:
+    *    the banded near-dup graph is orders smaller than the corpus) →
+    *    exact union-find on the driver, O(E·α) with zero per-round jobs.
+    *    Measured 15.7s → ~5s at sf0.1 (the distributed loop paid ~2 jobs ×
+    *    rounds of scheduling for a graph of a few dozen edges).
+    *  - larger → iterative min-label propagation to the exact fixpoint:
+    *    each round every node takes the minimum label among itself and its
+    *    neighbors; rounds = component diameter (near-dup clusters are
+    *    shallow). Each round is one shuffle-by-node aggregate; the
+    *    converged label table is checkpointed through parquet so the
+    *    returned plan has flat lineage and no pinned executor memory (at
+    *    extreme diameters the same loop upgrades to the published
+    *    large-star/small-star alternation — O(log n) rounds over the same
+    *    per-round shuffles).
     */
   def lshClusterReps(spark: SparkSession, dir: String,
-      maxRounds: Int = 40): DataFrame = {
+      maxRounds: Int = 40, smallGraphMaxPairs: Long = 1000000L): DataFrame = {
     val pairs = lshPairs(spark, dir).select("a", "b")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val labels: DataFrame =
+        if (pairs.count() <= smallGraphMaxPairs) driverUnionFind(spark, pairs)
+        else distributedMinLabel(spark, pairs, maxRounds)
+      val w = Window.partitionBy("cluster_rep")
+      labels
+        .select(col("node").as("doc_id"), col("lbl").as("cluster_rep"))
+        .withColumn("cluster_size", count(lit(1)).over(w))
+        .withColumn("is_rep", col("doc_id") === col("cluster_rep"))
+        .orderBy("doc_id")
+    } finally pairs.unpersist()
+  }
+
+  /** Exact connected components of a driver-resident edge set: union-find
+    * with path compression, smaller root wins — so every component's root
+    * IS its minimum label, matching the distributed path bit-for-bit.
+    */
+  private def driverUnionFind(spark: SparkSession, pairs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    val nodes = es.iterator.flatMap(e => Iterator(e._1, e._2)).toSeq.distinct
+    nodes.map(n => (n, find(n))).toDF("node", "lbl")
+  }
+
+  /** Distributed min-label propagation to the exact fixpoint (the scale
+    * path; see [[lshClusterReps]]).
+    */
+  private def distributedMinLabel(spark: SparkSession, pairs: DataFrame,
+      maxRounds: Int): DataFrame = {
     val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
       .toDF("src", "dst")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -201,16 +249,8 @@ object DocDedup {
       val ckpt = java.nio.file.Files.createTempDirectory("graft-cc").toString
       labels.write.mode("overwrite").parquet(ckpt)
       labels.unpersist()
-      val w = Window.partitionBy("cluster_rep")
       spark.read.parquet(ckpt)
-        .select(col("node").as("doc_id"), col("lbl").as("cluster_rep"))
-        .withColumn("cluster_size", count(lit(1)).over(w))
-        .withColumn("is_rep", col("doc_id") === col("cluster_rep"))
-        .orderBy("doc_id")
-    } finally {
-      pairs.unpersist()
-      edges.unpersist()
-    }
+    } finally edges.unpersist()
   }
 
   /** 32-bit SimHash over word tokens: bit j set iff the sum over tokens of

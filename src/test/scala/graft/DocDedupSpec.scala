@@ -98,6 +98,14 @@ class DocDedupSpec extends SparkSpec {
         assert(size == members.size)
       }
     }
+    // the scale path (distributed min-label propagation, forced by a zero
+    // driver threshold) agrees with the driver union-find bit-for-bit
+    val repsDist = DocDedup.lshClusterReps(spark, d, smallGraphMaxPairs = 0L)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_rep"), r.getAs[Long]("cluster_size"),
+          r.getAs[Boolean]("is_rep"))).toMap
+    assert(repsDist == reps, "distributed and driver CC paths disagree")
     // no executor memory left pinned by the iteration
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
