@@ -958,10 +958,12 @@ object ChronicleTable {
   }
 
   /** Lossless widening between two primitive types, or None when neither
-    * losslessly holds the other. The supported promotions are Iceberg's
-    * type-evolution set (int->long, float->double, int/long->double);
-    * files written at the NARROW type stay readable because Spark's
-    * parquet reader natively up-casts when the requested schema is wider.
+    * losslessly holds the other: int->long, float->double, int->double
+    * (an int is exactly representable in a double's 53-bit mantissa).
+    * long->double is NOT here — longs above 2^53 would silently round
+    * (Iceberg's promotion set excludes it for the same reason). Files
+    * written at the NARROW type stay readable because Spark's parquet
+    * reader natively up-casts when the requested schema is wider.
     */
   private def widen(a: org.apache.spark.sql.types.DataType,
       b: org.apache.spark.sql.types.DataType): Option[org.apache.spark.sql.types.DataType] = {
@@ -971,18 +973,18 @@ object ChronicleTable {
       case s if s == Set[DataType](IntegerType, LongType) => Some(LongType)
       case s if s == Set[DataType](FloatType, DoubleType) => Some(DoubleType)
       case s if s == Set[DataType](IntegerType, DoubleType) => Some(DoubleType)
-      case s if s == Set[DataType](LongType, DoubleType) => Some(DoubleType)
-      case _ => None // int<->float et al: not lossless, reject
+      case _ => None // long->double (lossy > 2^53), int<->float et al: reject
     }
   }
 
   /** Merge table schema with an incoming batch schema: existing columns
     * keep their position; genuinely new columns append (nullable); a
     * column present in both at different PRIMITIVE widths widens to the
-    * larger type (int->long, float->double, int/long->double — Iceberg's
-    * schema-evolution promotions; the snapshot schema drives every read,
-    * and the parquet reader up-casts narrow old files natively). Any other
-    * type conflict is rejected — the engine does not silently coerce.
+    * larger type when LOSSLESS (int->long, float->double, int->double —
+    * Iceberg's schema-evolution promotions; the snapshot schema drives
+    * every read, and the parquet reader up-casts narrow old files
+    * natively). Any other type conflict — including long->double, which
+    * rounds above 2^53 — is rejected: the engine does not silently coerce.
     */
   def mergeSchemas(table: StructType, batch: StructType): StructType = {
     val existing = table.fieldNames.toSet

@@ -770,6 +770,7 @@ class TableOpsSpec extends SparkSpec {
       val scoreType = rows.head._4 match {
         case _: Int => IntegerType
         case _: Long => LongType
+        case _: Double => DoubleType
         case _: String => StringType
       }
       spark.createDataFrame(
@@ -802,6 +803,12 @@ class TableOpsSpec extends SparkSpec {
       MergeInto(spark, p.table, batch(Seq((4L, "conv-d", 0, "not-a-number"))), "w#2", "t")
     }
     assert(err.getMessage.contains("incompatible schema change"))
+    // long->double is also rejected: doubles round above 2^53, so the
+    // "widening" would silently corrupt large longs (Iceberg excludes it too)
+    val err2 = intercept[Exception] {
+      MergeInto(spark, p.table, batch(Seq((5L, "conv-e", 0, 1.5d))), "w#3", "t")
+    }
+    assert(err2.getMessage.contains("incompatible schema change"))
   }
 
   test("point lookup scans one bucket's files only and equals the filtered full scan") {
