@@ -96,6 +96,8 @@ class CdcPipeline(val cfg: PipelineConfig) {
 
   def ensureTable(): Unit =
     if (!table.exists) table.create(Model.physicalSchemaV1, cfg.numBuckets)
+    else Chain.requireNotChainFed(table,
+      s"a direct pipeline drain (source ${cfg.sourceId})")
 
   def listSegments(): Seq[String] = {
     val p = Paths.get(cfg.sourceDir)

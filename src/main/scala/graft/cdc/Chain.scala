@@ -42,8 +42,31 @@ import org.apache.spark.sql.functions._
   */
 object Chain {
 
+  /** Namespace of chain cursor keys in the downstream table's cursor map. */
+  val cursorPrefix: String = "chain<-"
+
   /** The downstream cursor key for an upstream root. */
-  def cursorKey(srcRoot: String): String = s"chain<-$srcRoot"
+  def cursorKey(srcRoot: String): String = s"$cursorPrefix$srcRoot"
+
+  /** A table is either CHAIN-FED or PIPELINE-FED, never both. A chain's
+    * ledger keys reuse the upstream source's own prefix with snapshot-
+    * VERSION ranges (`binlog#2-5`); a direct pipeline's keys use the same
+    * prefix with BATCH indexes (`binlog#3`). Folding both unit semantics
+    * into one contiguous floor silently marks un-applied direct batches as
+    * committed (data loss), so the two feed modes are mutually exclusive
+    * per table, detected through the cursor namespace: chains record
+    * `chain<-<root>` cursors, pipelines record `<sourceId>` segment
+    * cursors. Multi-chain and multi-source-pipeline tables stay legal.
+    */
+  def requireNotChainFed(t: ChronicleTable, who: String): Unit =
+    if (t.exists) {
+      val chains = t.loadCurrent().cursors.keys.filter(_.startsWith(cursorPrefix))
+      require(chains.isEmpty,
+        s"table ${t.root} is chain-fed (${chains.mkString(",")}): $who would " +
+          "collide with the chain's ledger floors (version-range keys vs " +
+          "batch-index keys under one prefix) — drain into a separate table " +
+          "and chain it, or drop the chain first")
+    }
 
   case class ChainResult(
       fromVersion: Long,
@@ -57,9 +80,22 @@ object Chain {
   def pollOnce(spark: SparkSession, src: ChronicleTable,
       dst: ChronicleTable, numBuckets: Int = 16): Option[ChainResult] = {
     val cur = src.loadCurrent()
+    // fail BEFORE the bootstrap, not on poll 2: an unordered upstream can
+    // never be tailed (readChanges would refuse), so shipping its full
+    // state first would strand a half-initialized downstream
+    require(cur.unordered.isEmpty,
+      s"upstream ${src.root} has unordered sources " +
+        s"${cur.unordered.mkString(",")} — its changelog cannot be tailed " +
+        "(no mark bounds their redelivery), so it cannot be chained")
     if (!dst.exists) dst.create(Model.physicalSchemaV1, numBuckets)
+    val dstCursors = dst.loadCurrent().cursors
+    val direct = dstCursors.keys.filterNot(_.startsWith(cursorPrefix))
+    require(direct.isEmpty,
+      s"table ${dst.root} is pipeline-fed (cursors ${direct.mkString(",")})" +
+        ": chaining into it would collide with the pipeline's batch-index " +
+        "ledger keys — see Chain.requireNotChainFed")
     val key = cursorKey(src.root)
-    val lastV = dst.loadCurrent().cursors.getOrElse(key, -1L)
+    val lastV = dstCursors.getOrElse(key, -1L)
     if (lastV >= cur.version) return None
 
     // first poll bootstraps from the full visible state (tombstones too,

@@ -94,6 +94,7 @@ class MultiSinkPipeline(val cfg: PipelineConfig, val routes: Seq[RouteConfig],
   private def ensureTables(names: Seq[String]): Unit = names.foreach { s =>
     val t = sinkTable(s)
     if (!t.exists) t.create(Model.physicalSchemaV1, cfg.numBuckets)
+    else Chain.requireNotChainFed(t, s"a multi-sink drain (sink $s)")
   }
 
   def ensureTables(): Unit = ensureTables(sinkNames)

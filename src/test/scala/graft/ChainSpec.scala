@@ -81,6 +81,45 @@ class ChainSpec extends SparkSpec {
       s"chain ledger must fold to floors, found ${d3.committedBatches.keySet}")
   }
 
+  test("feed modes are exclusive; unordered upstreams refuse at bootstrap") {
+    import graft.table.{ChronicleTable, LineageEntry, PendingCommit}
+    val cfg = BinlogConfig(numEvents = 400, numConversations = 4,
+      segmentSize = 200, dupPct = 0, pDelete = 0.0)
+    val src = tmpDir("chain-x-bl")
+    BinlogGenerator.writeSegments(spark, cfg, src)
+    val p = new CdcPipeline(PipelineConfig(src, tmpDir("chain-x-up"),
+      segmentsPerBatch = 2, numBuckets = 4))
+    p.runAll(spark)
+    val down = new ChronicleTable(tmpDir("chain-x-down"))
+    Chain.drain(spark, p.table, down, numBuckets = 4)
+
+    // a chain's version-range ledger keys and a pipeline's batch-index keys
+    // share the source prefix — folding both into one floor silently skips
+    // un-applied batches, so each direction refuses the other's table
+    val intoPipelineFed = intercept[IllegalArgumentException] {
+      Chain.pollOnce(spark, p.table, p.table, numBuckets = 4)
+    }
+    assert(intoPipelineFed.getMessage.contains("pipeline-fed"))
+    val intoChainFed = intercept[IllegalArgumentException] {
+      new CdcPipeline(PipelineConfig(src, down.root,
+        segmentsPerBatch = 2, numBuckets = 4)).runAll(spark)
+    }
+    assert(intoChainFed.getMessage.contains("chain-fed"))
+
+    // an unordered upstream can never be tailed: refuse BEFORE the
+    // bootstrap ships state that poll 2 could not follow up on
+    val ss = new ChronicleTable(tmpDir("chain-x-ss"))
+    ss.create(Model.physicalSchemaV1, 2)
+    ss.commit(ss.loadCurrent(), PendingCommit("ss#0", Nil, Nil, None,
+      LineageEntry("ss#0", "epoch", -1L, -1L, 0, 0, 0, 0L, Map.empty, -1L),
+      ordered = false))
+    val unord = intercept[IllegalArgumentException] {
+      Chain.pollOnce(spark, ss, new ChronicleTable(tmpDir("chain-x-down2")),
+        numBuckets = 4)
+    }
+    assert(unord.getMessage.contains("unordered"))
+  }
+
   test("MOR upstream ships tombstones: deletes propagate to the downstream table") {
     val cfg = BinlogConfig(numEvents = 1200, numConversations = 10,
       segmentSize = 300, dupPct = 5, pDelete = 0.25)
