@@ -80,6 +80,54 @@ object Metrics {
       .orderBy("mode")
   }
 
+  /** Per-mode summary of recent ledger events (see [[recentRates]]). */
+  case class RateSummary(
+      batches: Int, rows: Long, rowsPerSec: Option[Double], lastTsMs: Long)
+
+  /** Driver-side fold of the ledger TAIL: per-mode rates over the last
+    * `lastK` events of each mode, reading only the final `maxTailBytes`
+    * of the file. The ledger grows one line per applied batch forever, so
+    * a status poll must cost O(tail), not O(all batches ever) — a
+    * monitoring system polls this every few seconds against a drain that
+    * may have applied millions of micro-batches. A mode whose last event
+    * fell out of the tail window is simply absent (it is not "recent").
+    * The HTTP status surface ([[StatusServer]]) serves exactly this fold;
+    * [[rates]] is the same numbers as a queryable DataFrame.
+    */
+  def recentRates(dir: String, lastK: Int = 20,
+      maxTailBytes: Int = 1 << 20): Map[String, RateSummary] = {
+    val p = file(dir)
+    if (!Files.exists(p)) return Map.empty
+    val size = Files.size(p)
+    val start = math.max(0L, size - maxTailBytes)
+    val bytes = {
+      val ch = java.nio.channels.FileChannel.open(p,
+        StandardOpenOption.READ)
+      try {
+        val buf = java.nio.ByteBuffer.allocate((size - start).toInt)
+        ch.position(start)
+        while (buf.hasRemaining && ch.read(buf) >= 0) {}
+        buf.array()
+      } finally ch.close()
+    }
+    val text = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    val lines0 = text.split('\n').iterator.filter(_.nonEmpty).toSeq
+    // a mid-file start lands inside a line: drop the partial first one
+    val lines = if (start > 0) lines0.drop(1) else lines0
+    val events = lines.flatMap { l =>
+      try Some(mapper.readValue(l, classOf[MetricEvent]))
+      catch { case _: Exception => None } // torn concurrent append: skip
+    }
+    events.groupBy(_.mode).map { case (mode, es) =>
+      val recent = es.sortBy(e => (-e.tsMs, -e.epoch)).take(lastK)
+      val rows = recent.map(_.rows).sum
+      val sec = recent.map(_.sec).sum
+      mode -> RateSummary(recent.size, rows,
+        if (sec > 0) Some(math.round(rows / sec * 10.0) / 10.0) else None,
+        recent.map(_.tsMs).max)
+    }
+  }
+
   /** StreamingQueryListener recording one metrics line per epoch of the
     * named query — the Structured Streaming half of the surface (progress
     * events carry input rows and trigger durations; the foreachBatch side

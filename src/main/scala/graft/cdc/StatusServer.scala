@@ -5,7 +5,6 @@ import graft.table.ChronicleTable
 import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets
-import java.nio.file.Files
 
 /** Live HTTP status surface for a running (or resting) table — the
   * reference serves per-sink rates and liveness over REST
@@ -92,23 +91,17 @@ object StatusServer {
       scala.jdk.CollectionConverters.SeqHasAsJava(
         snap.schema.fieldNames.toSeq).asJava)
 
-    // recent per-mode rates off the JSONL ledger tail (one small file read)
-    val ledger = Metrics.file(s"$tableRoot/metrics")
-    if (Files.exists(ledger)) {
-      val lines = Files.readAllLines(ledger)
-      val events = scala.jdk.CollectionConverters.ListHasAsScala(lines).asScala
-        .filter(_.nonEmpty)
-        .map(l => m.readValue(l, classOf[MetricEvent]))
+    // recent per-mode rates off the JSONL ledger TAIL (bounded read — the
+    // ledger grows forever; the fold lives in Metrics.recentRates)
+    val summaries = Metrics.recentRates(s"$tableRoot/metrics", lastK)
+    if (summaries.nonEmpty) {
       val rates = new java.util.TreeMap[String, Any]()
-      events.groupBy(_.mode).foreach { case (mode, es) =>
-        val recent = es.sortBy(e => (-e.tsMs, -e.epoch)).take(lastK)
-        val rows = recent.map(_.rows).sum
-        val sec = recent.map(_.sec).sum
+      summaries.foreach { case (mode, s) =>
         val r = new java.util.LinkedHashMap[String, Any]()
-        r.put("batches", recent.size)
-        r.put("rows", rows)
-        if (sec > 0) r.put("rowsPerSec", math.round(rows / sec * 10.0) / 10.0)
-        r.put("lastTsMs", recent.map(_.tsMs).max)
+        r.put("batches", s.batches)
+        r.put("rows", s.rows)
+        s.rowsPerSec.foreach(v => r.put("rowsPerSec", v))
+        r.put("lastTsMs", s.lastTsMs)
         rates.put(mode, r)
       }
       base.put("recentRates", rates)
