@@ -91,11 +91,7 @@ object Bench {
     */
   private def cdcReplay(spark: SparkSession, binlogDir: String,
       numEvents: Long): Double = {
-    val base = java.nio.file.Paths.get("/dev/shm")
-    val tableRoot =
-      (if (java.nio.file.Files.isDirectory(base))
-        java.nio.file.Files.createTempDirectory(base, "graft-bench-table")
-      else java.nio.file.Files.createTempDirectory("graft-bench-table")).toString
+    val tableRoot = shmTemp("graft-bench-table")
     val p = new CdcPipeline(PipelineConfig(binlogDir, tableRoot,
       segmentsPerBatch = 1, numBuckets = 32, saltBuckets = 0))
     val t0 = System.nanoTime()
@@ -194,12 +190,7 @@ object Bench {
   }
 
   /** Temp dir on tmpfs when available (same reasoning as the bench table). */
-  private def shmTemp(prefix: String): String = {
-    val base = java.nio.file.Paths.get("/dev/shm")
-    (if (java.nio.file.Files.isDirectory(base))
-      java.nio.file.Files.createTempDirectory(base, prefix)
-    else java.nio.file.Files.createTempDirectory(prefix)).toString
-  }
+  private def shmTemp(prefix: String): String = graft.util.Scratch.shmTemp(prefix)
 
   private def copyTree(from: String, to: String): Unit = {
     import scala.jdk.CollectionConverters._
@@ -270,13 +261,7 @@ object Bench {
     }
   }
 
-  private def rmTree(dir: String): Unit = {
-    import scala.jdk.CollectionConverters._
-    val p = java.nio.file.Paths.get(dir)
-    if (java.nio.file.Files.exists(p))
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(f => java.nio.file.Files.deleteIfExists(f))
-  }
+  private def rmTree(dir: String): Unit = graft.util.Scratch.rmTree(dir)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -33,6 +33,28 @@ import org.apache.spark.sql.functions._
   */
 object Compaction {
 
+  /** The maintenance rewrite both compaction and rescale share: rows
+    * range-partition on (bucket, conv_id) into ~`targetRowsPerFile` slices
+    * (partition count sized from `victimRows`, the manifests' pre-rewrite
+    * row count — free, no extra job; capped so a mis-sized target cannot
+    * explode the shuffle), sort within partitions, and land under
+    * `staging/bucket=N/` — every produced file covers a contiguous,
+    * disjoint key range WITHIN its bucket, so manifest key bounds stay
+    * selective (point lookups prune to one file per bucket).
+    */
+  private[ops] def rangeSplitWrite(spark: SparkSession,
+      rows: org.apache.spark.sql.DataFrame, numBuckets: Int,
+      victimRows: Long, targetRowsPerFile: Long, staging: String): Unit = {
+    val parts = math.max(1,
+      math.min((victimRows / math.max(1L, targetRowsPerFile) + 1).toInt,
+        1 << 15))
+    MergeInto.withMicrosTimestamps(spark)(rows
+      .withColumn("bucket", ChronicleTable.bucketExpr("conv_id", numBuckets))
+      .repartitionByRange(parts, col("bucket"), col("conv_id"))
+      .sortWithinPartitions("bucket", "conv_id", "turn_idx")
+      .write.partitionBy("bucket").mode("overwrite").parquet(staging))
+  }
+
   case class CompactionResult(
       snapshot: Snapshot,
       compactedBuckets: Int,
@@ -78,20 +100,9 @@ object Compaction {
     val kept = merged.filter(!horizonDrop)
 
     val staging = table.newStagingDir()
-    // Range-partition on (bucket, conv_id): each shuffle partition is a
-    // contiguous (bucket, key) slice of ~targetRowsPerFile rows, and
-    // partitionBy splits the rare bucket-straddling slice at the bucket
-    // edge — so every produced file covers a contiguous, disjoint key
-    // range WITHIN its bucket. Partition count from the manifest's victim
-    // row count (pre-GC upper bound; no extra job).
-    val parts = math.max(1,
-      math.min((victims.map(_.rows).sum / math.max(1L, targetRowsPerFile) + 1).toInt,
-        1 << 15))
-    MergeInto.withMicrosTimestamps(spark)(kept
-      .withColumn("bucket", ChronicleTable.bucketExpr("conv_id", base.numBuckets))
-      .repartitionByRange(parts, col("bucket"), col("conv_id"))
-      .sortWithinPartitions("bucket", "conv_id", "turn_idx")
-      .write.partitionBy("bucket").mode("overwrite").parquet(staging))
+    // victim row count is the pre-GC upper bound on the output
+    rangeSplitWrite(spark, kept, base.numBuckets,
+      victims.map(_.rows).sum, targetRowsPerFile, staging)
 
     val added = MergeInto.collectStats(spark, staging)
     val dropped = victims.map(_.rows).sum - added.map(_.rows).sum

@@ -53,15 +53,10 @@ object Rescale {
       else scan
 
     val staging = table.newStagingDir()
-    // partition count from manifest row counts (pre-fold upper bound)
-    val parts = math.max(1,
-      math.min((victims.map(_.rows).sum / math.max(1L, targetRowsPerFile) + 1).toInt,
-        1 << 15))
-    MergeInto.withMicrosTimestamps(spark)(rows
-      .withColumn("bucket", ChronicleTable.bucketExpr("conv_id", newNumBuckets))
-      .repartitionByRange(parts, col("bucket"), col("conv_id"))
-      .sortWithinPartitions("bucket", "conv_id", "turn_idx")
-      .write.partitionBy("bucket").mode("overwrite").parquet(staging))
+    // the shared maintenance rewrite, bucketed under the NEW count
+    // (victim row count = pre-fold upper bound on the output)
+    Compaction.rangeSplitWrite(spark, rows, newNumBuckets,
+      victims.map(_.rows).sum, targetRowsPerFile, staging)
 
     val added = MergeInto.collectStats(spark, staging)
     // range-shaped key, folded away by the contiguous-floor ledger like

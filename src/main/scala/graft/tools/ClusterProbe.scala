@@ -38,9 +38,7 @@ object ClusterProbe {
 
   def main(args: Array[String]): Unit = {
     val events = sys.env.getOrElse("PROBE_EVENTS", "8000000").toLong
-    val binlog = java.nio.file.Files
-      .createTempDirectory(java.nio.file.Paths.get("/dev/shm"), "probe-binlog")
-      .toString
+    val binlog = graft.util.Scratch.shmTemp("probe-binlog")
     val gen = session("local[16]")
     BinlogGenerator.writeSegments(gen, BinlogConfig(numEvents = events,
       numConversations = math.max(64, (events / 640).toInt), maxTurns = 32,
@@ -60,8 +58,7 @@ object ClusterProbe {
     masters.foreach { m =>
       val s = session(m)
       try {
-        val tableRoot = java.nio.file.Files.createTempDirectory(
-          java.nio.file.Paths.get("/dev/shm"), "probe-table").toString
+        val tableRoot = graft.util.Scratch.shmTemp("probe-table")
         graft.ops.MergeInto.drainPhaseSeconds() // reset
         val p = new CdcPipeline(PipelineConfig(binlog, tableRoot,
           segmentsPerBatch = 1, numBuckets = 32, saltBuckets = 0))
@@ -81,11 +78,5 @@ object ClusterProbe {
     rmTree(binlog)
   }
 
-  private def rmTree(dir: String): Unit = {
-    import scala.jdk.CollectionConverters._
-    val p = java.nio.file.Paths.get(dir)
-    if (java.nio.file.Files.exists(p))
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(f => java.nio.file.Files.deleteIfExists(f))
-  }
+  private def rmTree(dir: String): Unit = graft.util.Scratch.rmTree(dir)
 }
