@@ -120,6 +120,63 @@ class ChainSpec extends SparkSpec {
     assert(unord.getMessage.contains("unordered"))
   }
 
+  test("schema evolution propagates through the chain; upstream rewrites do not re-ship old rows") {
+    val cfg = BinlogConfig(numEvents = 1200, numConversations = 8,
+      segmentSize = 300, dupPct = 5, pDelete = 0.0)
+    val src = tmpDir("chain-ev-bl")
+    BinlogGenerator.writeSegments(spark, cfg, src)
+    val p = new CdcPipeline(PipelineConfig(src, tmpDir("chain-ev-up"),
+      segmentsPerBatch = 1, numBuckets = 4))
+    val down = new graft.table.ChronicleTable(tmpDir("chain-ev-down"))
+
+    p.runAll(spark)
+    Chain.drain(spark, p.table, down, numBuckets = 4)
+    assert(!down.loadCurrent().schema.fieldNames.contains("score"))
+
+    // upstream EVOLVES (a second writer ships a brand-new `score` column)
+    // and then REWRITES itself (rescale + compaction): the next poll must
+    // propagate the evolved schema and ship only the genuinely-new rows —
+    // rewrites stamp fresh files whose rows keep their ORIGINAL
+    // lsn/_source, so the per-source marks still filter them out
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val evo = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(5000L, "I", "conv-evo", 0, "user", "evolved row", null,
+          new java.sql.Timestamp(0L), 42),
+        Row(5001L, "I", "conv-evo", 1, "assistant", "evolved reply", null,
+          new java.sql.Timestamp(0L), 43))),
+      StructType(Seq(
+        StructField("lsn", LongType), StructField("op", StringType),
+        StructField("conv_id", StringType), StructField("turn_idx", IntegerType),
+        StructField("role", StringType), StructField("text", StringType),
+        StructField("tool", StringType), StructField("ts", TimestampType),
+        StructField("score", IntegerType))))
+    graft.ops.MergeInto(spark, p.table, evo, "sideload#0", "evolution writer")
+    graft.ops.Rescale(spark, p.table, newNumBuckets = 8)
+    graft.ops.Compaction(spark, p.table, maxFilesPerBucket = 1)
+
+    val upRows = visible(p.table).size
+    val r2 = Chain.pollOnce(spark, p.table, down, numBuckets = 4).get
+    val shipped = r2.merges.map(m => m.upserts + m.deletes).sum
+    assert(visible(down) == visible(p.table))
+    assert(down.loadCurrent().schema.fieldNames.contains("score"),
+      "chain must propagate the evolved upstream schema")
+    val scores = down.read(spark).filter(col("conv_id") === "conv-evo")
+      .select("turn_idx", "score").collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(scores == Map(0 -> 42, 1 -> 43))
+    // old rows shipped in poll 1 were rewritten upstream (new files) but
+    // must NOT re-ship: the shipped count is bounded by what poll 1 missed
+    assert(shipped < upRows,
+      s"poll 2 re-shipped the whole table ($shipped of $upRows rows)")
+    assert(Chain.pollOnce(spark, p.table, down, numBuckets = 4).isEmpty)
+    // downstream reads stay key-unique across the evolved/rewritten ship
+    val dup = down.read(spark).filter(!col(Model.deletedColumn))
+      .groupBy("conv_id", "turn_idx").count().filter(col("count") > 1).count()
+    assert(dup == 0L)
+  }
+
   test("MOR upstream ships tombstones: deletes propagate to the downstream table") {
     val cfg = BinlogConfig(numEvents = 1200, numConversations = 10,
       segmentSize = 300, dupPct = 5, pDelete = 0.25)
