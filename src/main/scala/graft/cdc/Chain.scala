@@ -76,9 +76,16 @@ object Chain {
 
   /** Ship all changes committed upstream since the last poll. None = the
     * downstream table is already caught up.
+    *
+    * `mergeOnRead` selects the DOWNSTREAM write mode: merge-on-read keeps
+    * shipped tombstones (up to the GC horizon), so the downstream can
+    * itself be chained further WITH delete propagation — a copy-on-write
+    * downstream erases deletes physically and tails on as upsert-only,
+    * exactly like a CoW upstream.
     */
   def pollOnce(spark: SparkSession, src: ChronicleTable,
-      dst: ChronicleTable, numBuckets: Int = 16): Option[ChainResult] = {
+      dst: ChronicleTable, numBuckets: Int = 16,
+      mergeOnRead: Boolean = false): Option[ChainResult] = {
     val cur = src.loadCurrent()
     // fail BEFORE the bootstrap, not on poll 2: an unordered upstream can
     // never be tailed (readChanges would refuse), so shipping its full
@@ -142,7 +149,8 @@ object Chain {
         MergeInto(spark, dst, asEvents(rows),
           batchKey = s"$s#$lo-${cur.version}",
           source = s"chain ${src.root} v$lastV->v${cur.version}",
-          cursor = if (last) Some(key -> cur.version) else None)
+          cursor = if (last) Some(key -> cur.version) else None,
+          mergeOnRead = mergeOnRead)
       }
       Some(ChainResult(lastV, cur.version, prefixes, merges))
     } finally changes.unpersist()
@@ -152,10 +160,34 @@ object Chain {
     * left); returns polls performed.
     */
   def drain(spark: SparkSession, src: ChronicleTable, dst: ChronicleTable,
-      numBuckets: Int = 16, maxPolls: Int = Int.MaxValue): Int = {
+      numBuckets: Int = 16, maxPolls: Int = Int.MaxValue,
+      mergeOnRead: Boolean = false): Int = {
     var n = 0
-    while (n < maxPolls && pollOnce(spark, src, dst, numBuckets).isDefined)
+    while (n < maxPolls &&
+        pollOnce(spark, src, dst, numBuckets, mergeOnRead).isDefined)
       n += 1
     n
   }
+
+  /** Continuous tail: a Structured Streaming query whose every trigger
+    * drains the upstream changelog — the always-on form of [[drain]] (the
+    * reference's SuroSink forwards continuously as traffic arrives,
+    * SuroSink.java:15-38). The rate source is a one-row metronome; the
+    * real work runs driver-side in foreachBatch through the same
+    * exactly-once [[pollOnce]], so the query's own checkpoint carries no
+    * state that matters — a crash loses nothing (the chain cursor rides
+    * the downstream table's ledger) and a restart resumes mid-stream.
+    */
+  def follow(spark: SparkSession, src: ChronicleTable, dst: ChronicleTable,
+      numBuckets: Int = 16, intervalMs: Long = 1000L,
+      mergeOnRead: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+      .writeStream
+      .queryName(s"graft-chain-${dst.root.hashCode.toHexString}")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(intervalMs))
+      .option("checkpointLocation", s"${dst.root}/_follow_checkpoint")
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        drain(spark, src, dst, numBuckets, mergeOnRead = mergeOnRead): Unit
+      }
+      .start()
 }

@@ -222,10 +222,27 @@ object RunCdc {
       val src = new graft.table.ChronicleTable(args(1))
       val dst = new graft.table.ChronicleTable(args(2))
       val nb = if (args.length > 3) args(3).toInt else 16
-      val polls = Chain.drain(spark, src, dst, nb)
+      val polls = Chain.drain(spark, src, dst, nb,
+        mergeOnRead = sys.env.get("GRAFT_MOR").contains("1"))
       val snap = dst.loadCurrent()
       println(s"chained $polls polls; downstream v${snap.version} " +
         s"rows=${snap.totalRows} cursor=${snap.cursors(Chain.cursorKey(args(1)))}")
+
+    // follow <srcTableRoot> <dstTableRoot> [numBuckets] [intervalMs]: the
+    // always-on chain — a Structured Streaming metronome drains the
+    // upstream changelog every interval until the process is stopped
+    // (exactly-once; the cursor rides the downstream ledger, so kill and
+    // rerun resumes mid-stream)
+    case "follow" =>
+      val src = new graft.table.ChronicleTable(args(1))
+      val dst = new graft.table.ChronicleTable(args(2))
+      val nb = if (args.length > 3) args(3).toInt else 16
+      val interval = if (args.length > 4) args(4).toLong else 1000L
+      val q = Chain.follow(spark, src, dst, nb, interval,
+        mergeOnRead = sys.env.get("GRAFT_MOR").contains("1"))
+      println(s"following ${args(1)} -> ${args(2)} every ${interval}ms " +
+        s"(query ${q.name}); Ctrl-C to stop")
+      q.awaitTermination()
 
     // serve <tableRoot> <port>: standalone live status endpoint (the
     // reference's StatusServer/HealthCheck, StatusServer.java:46-56) —

@@ -186,15 +186,74 @@ class ChainSpec extends SparkSpec {
       segmentsPerBatch = 2, numBuckets = 4, mergeOnRead = true))
     val down = new graft.table.ChronicleTable(tmpDir("chain-mor-down"))
 
+    // downstream in MOR mode: shipped tombstones are RETAINED, so this
+    // table can itself be chained further WITH delete propagation
     p.runAll(spark, maxBatches = 1)
-    Chain.pollOnce(spark, p.table, down, numBuckets = 4)
+    Chain.pollOnce(spark, p.table, down, numBuckets = 4, mergeOnRead = true)
     assert(visible(down) == visible(p.table))
     p.runAll(spark) // the rest, including deletes of keys shipped in poll 1
-    Chain.pollOnce(spark, p.table, down, numBuckets = 4)
+    Chain.pollOnce(spark, p.table, down, numBuckets = 4, mergeOnRead = true)
     // a key deleted upstream AFTER being shipped must disappear downstream
     assert(visible(down) == visible(p.table))
     val oracle = BinlogGenerator.referenceReduction(cfg)
       .values.map(e => (e.conv_id, e.turn_idx, e.text)).toSet
     assert(visible(down) == oracle)
+    // second hop: a MOR downstream carries the tombstones, so a further
+    // chained table ALSO sees the deletes (suro chains arbitrarily deep)
+    val third = new graft.table.ChronicleTable(tmpDir("chain-mor-third"))
+    Chain.drain(spark, down, third, numBuckets = 4)
+    assert(visible(third) == oracle)
+  }
+
+  test("follow: the streaming chain converges live and resumes exactly-once") {
+    val cfg = BinlogConfig(numEvents = 600, numConversations = 5,
+      segmentSize = 200, dupPct = 5, pDelete = 0.0)
+    val src = tmpDir("chain-f-bl")
+    BinlogGenerator.writeSegments(spark, cfg, src)
+    val p = new CdcPipeline(PipelineConfig(src, tmpDir("chain-f-up"),
+      segmentsPerBatch = 1, numBuckets = 4))
+    val down = new graft.table.ChronicleTable(tmpDir("chain-f-down"))
+
+    p.runAll(spark, maxBatches = 1)
+    val q = Chain.follow(spark, p.table, down, numBuckets = 4,
+      intervalMs = 200L)
+    try {
+      // upstream keeps committing WHILE the follower runs
+      p.runAll(spark)
+      val deadline = System.currentTimeMillis() + 60000
+      def caughtUp() = down.exists &&
+        down.loadCurrent().cursors.get(Chain.cursorKey(p.table.root))
+          .contains(p.table.loadCurrent().version)
+      while (!caughtUp() && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      assert(caughtUp(), "follower never caught up with the upstream")
+    } finally q.stop()
+    assert(visible(down) == visible(p.table))
+    val oracle = BinlogGenerator.referenceReduction(cfg)
+      .values.map(e => (e.conv_id, e.turn_idx, e.text)).toSet
+    assert(visible(down) == oracle)
+    // no duplicate keys: the live polls were exactly-once
+    val dup = down.read(spark).filter(!col(Model.deletedColumn))
+      .groupBy("conv_id", "turn_idx").count().filter(col("count") > 1).count()
+    assert(dup == 0L)
+  }
+
+  test("an expired upstream cursor errors clearly instead of shipping a wrong delta") {
+    val cfg = BinlogConfig(numEvents = 600, numConversations = 5,
+      segmentSize = 200, dupPct = 0, pDelete = 0.0)
+    val src = tmpDir("chain-exp-bl")
+    BinlogGenerator.writeSegments(spark, cfg, src)
+    val p = new CdcPipeline(PipelineConfig(src, tmpDir("chain-exp-up"),
+      segmentsPerBatch = 1, numBuckets = 4))
+    val down = new graft.table.ChronicleTable(tmpDir("chain-exp-down"))
+    p.runAll(spark, maxBatches = 1)
+    Chain.drain(spark, p.table, down, numBuckets = 4)
+    p.runAll(spark)
+    p.table.expireSnapshots(keepLast = 1) // the chain's cursor version dies
+    val err = intercept[NoSuchElementException] {
+      Chain.pollOnce(spark, p.table, down, numBuckets = 4)
+    }
+    assert(err.getMessage.contains("expired") ||
+      err.getMessage.contains("does not exist"))
   }
 }
