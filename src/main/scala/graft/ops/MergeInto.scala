@@ -533,8 +533,8 @@ object MergeInto {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val bucketRe = ".*/bucket=(\\d+)/[^/]+$".r
-    val reader = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new HPath(f), conf))
+    val inputFile = HadoopInputFile.fromPath(new HPath(f), conf)
+    val reader = ParquetFileReader.open(inputFile)
     try {
       val blocks = reader.getFooter.getBlocks.asScala
       val rows = blocks.map(_.getRowCount).sum
@@ -564,7 +564,8 @@ object MergeInto {
         if (tsStats.isEmpty) 0L else tsStats.map(_._1).min,
         if (tsStats.isEmpty) 0L else tsStats.map(_._2).max,
         minLsn = if (lsnStats.isEmpty) -1L else lsnStats.map(_._1).min,
-        maxLsn = if (lsnStats.isEmpty) -1L else lsnStats.map(_._2).max)
+        maxLsn = if (lsnStats.isEmpty) -1L else lsnStats.map(_._2).max,
+        bytes = inputFile.getLength)
     } finally reader.close()
   }
 

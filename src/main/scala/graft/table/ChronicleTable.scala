@@ -51,7 +51,13 @@ case class DataFileMeta(
       * → never pruned.
       */
     minLsn: Long = -1L,
-    maxLsn: Long = -1L)
+    maxLsn: Long = -1L,
+    /** File size in bytes — lets scan planning ([[ChronicleFileIndex]])
+      * build splits and size estimates from the manifest alone, with no
+      * per-file filesystem stat. 0 = unknown (pre-upgrade manifest) →
+      * statted lazily when planned.
+      */
+    bytes: Long = 0L)
 
 /** Summary of one per-bucket manifest file in the snapshot's manifest LIST:
   * enough metadata (bucket, aggregate key/time bounds, counts) to prune the
@@ -645,6 +651,14 @@ class ChronicleTable(val root: String) {
     * the reference's implicit new-JSON-field appearance, SURVEY.md §1.3,
     * made explicit).
     *
+    * The scan plans over a [[ChronicleFileIndex]], so filters Catalyst
+    * pushes down — `conv_id` equality/range, `ts` bounds, `_lsn` lower
+    * bounds, from DataFrame code or SQL over a registered view — prune
+    * data files at the MANIFEST during planning, not per-footer at
+    * runtime. A key filter even pushes through the merge-on-read LWW
+    * window below (conv_id is a window partition key), so point reads of
+    * a delta-carrying table stay O(one bucket).
+    *
     * A snapshot with merge-on-read delta files reads through a per-key
     * last-writer-wins merge on `_lsn` (one hash aggregate — the same LWW the
     * write path applies, deferred to read): base rows a newer delta displaces
@@ -658,9 +672,28 @@ class ChronicleTable(val root: String) {
     if (files.isEmpty) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     } else {
-      val scan = spark.read.schema(schema).parquet(files.map(_.path): _*)
+      val scan = scanFiles(spark, snapshot, files)
       if (files.exists(_.delta)) mergeDeltas(scan, schema) else scan
     }
+  }
+
+  /** A parquet scan over an explicit file set, planned through
+    * [[ChronicleFileIndex]] (manifest-driven filter pruning + manifest
+    * byte counts for splits and size estimates).
+    */
+  def scanFiles(spark: SparkSession, snapshot: Snapshot,
+      files: Seq[DataFileMeta]): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    val index = new ChronicleFileIndex(spark, this, snapshot, files)
+    spark.baseRelationToDataFrame(HadoopFsRelation(
+      location = index,
+      partitionSchema = new StructType(),
+      dataSchema = snapshot.schema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat(),
+      options = Map.empty)(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]))
   }
 
   def read(spark: SparkSession): DataFrame = read(spark, loadCurrent())
@@ -725,7 +758,7 @@ class ChronicleTable(val root: String) {
       if (files.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(files.map(_.path): _*)
+      else scanFiles(spark, snap, files)
     val merged =
       if (files.exists(_.delta)) ChronicleTable.mergeDeltas(base, schema)
       else base
@@ -805,7 +838,7 @@ class ChronicleTable(val root: String) {
       if (kept.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(kept.map(_.path): _*)
+      else scanFiles(spark, cur, kept)
     val merged =
       if (kept.exists(_.delta)) ChronicleTable.mergeDeltas(scan, schema)
       else scan
@@ -837,7 +870,7 @@ class ChronicleTable(val root: String) {
       if (files.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema).parquet(files.map(_.path): _*)
+      else scanFiles(spark, snap, files)
     val merged =
       if (files.exists(_.delta)) ChronicleTable.mergeDeltas(scan, schema)
       else scan
