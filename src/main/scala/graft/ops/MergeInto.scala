@@ -272,7 +272,7 @@ object MergeInto {
       // drop) — on a shared subplan like `deduped` it would execute once
       // per branch and the bit_xor checksum would self-cancel.
       val obs = org.apache.spark.sql.Observation()
-      def observed(rows: DataFrame): DataFrame = rows.observe(obs,
+      val metricExprs = Seq(
         coalesce(min(col(Model.ordColumn)), lit(-1L)).as("minLsn"),
         coalesce(max(col(Model.ordColumn)), lit(-1L)).as("maxLsn"),
         coalesce(sum(when(col("op") === "D", 1L).otherwise(0L)), lit(0L))
@@ -282,6 +282,11 @@ object MergeInto {
         coalesce(bit_xor(when(col("op") =!= "D",
           xxhash64(col("conv_id"), col("turn_idx"), col("text")))), lit(0L))
           .as("checksum"))
+      var obsInput: DataFrame = null
+      def observed(rows: DataFrame): DataFrame = {
+        obsInput = rows
+        rows.observe(obs, metricExprs.head, metricExprs.tail: _*)
+      }
 
       // hash-split sorted write of the new files + distributed footer stats
       // (shared by both modes)
@@ -303,7 +308,21 @@ object MergeInto {
 
       // (reads obs — call only after writeStaged's action completed)
       def commitFiles(removed: Seq[String], added: Seq[DataFileMeta]): (Snapshot, Long, Long) = {
-        val m = obs.get
+        // When the staged write lands ZERO rows end-to-end (a pure-delete
+        // batch displacing every touched row), AQE's empty-relation
+        // propagation re-plans the finished map stage away and the
+        // CollectMetrics node vanishes from the final plan — the
+        // observation then completes with an EMPTY row. Recompute the same
+        // aggregates directly over the observed input (cached, and tiny in
+        // exactly this case) instead of committing bogus lineage.
+        val m0 = obs.get
+        val m =
+          if (m0.nonEmpty) m0
+          else {
+            val r = obsInput.agg(metricExprs.head, metricExprs.tail: _*)
+              .collect()(0)
+            r.schema.fieldNames.map(f => f -> r.getAs[Any](f)).toMap
+          }
         val upserts = m("upserts").asInstanceOf[Long]
         val deletes = m("deletes").asInstanceOf[Long]
         val lineage = LineageEntry(batchKey, source,

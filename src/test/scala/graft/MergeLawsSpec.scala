@@ -73,6 +73,26 @@ class MergeLawsSpec extends SparkSpec {
     }, 15)
   }
 
+  test("pure-delete batch landing zero rows still commits true lineage " +
+      "(AQE empty-propagation drops the write's CollectMetrics)") {
+    // regression: the trailing batch's only event deletes the only touched
+    // key, so the staged write is empty end-to-end; AQE re-plans the
+    // finished map stage to an empty relation and the Observation returns
+    // an EMPTY row — the merge must fall back to a direct aggregate
+    val evs = List(Ev(0, "I", "conv-0", 3), Ev(1, "U", "conv-1", 2),
+      Ev(2, "I", "conv-3", 3), Ev(3, "U", "conv-4", 3),
+      Ev(4, "D", "conv-3", 3))
+    assert(applyThroughEngine(evs, 3, ordered = true) == oracle(evs))
+    // the delete-only commit's lineage must record the delete, not zeros
+    val root = tmpDir("laws-lineage")
+    val t = new ChronicleTable(root)
+    t.create(Model.physicalSchemaV1, numBuckets = 2)
+    MergeInto(spark, t, toDf(evs.take(4)), "b#0", "laws")
+    MergeInto(spark, t, toDf(evs.drop(4)), "b#1", "laws")
+    val del = t.fullLineage().find(_.batchKey == "b#1").get
+    assert(del.deletes == 1L && del.upserts == 0L && del.endLsn == 4L)
+  }
+
   test("all dedup strategies (max_by, join-back, window) agree on any stream") {
     holds(Prop.forAllNoShrink(genEvents, Gen.choose(42L, 46L)) { (evs, seed) =>
       val rnd = new scala.util.Random(seed)
