@@ -45,8 +45,17 @@ object Chain {
   /** Namespace of chain cursor keys in the downstream table's cursor map. */
   val cursorPrefix: String = "chain<-"
 
+  /** Namespace of STREAM-chain cursor keys ([[followStream]] — position is
+    * the stream's batch id; the authoritative cursor is the streaming
+    * checkpoint, this marker claims the feed mode and shows progress).
+    */
+  val streamCursorPrefix: String = "chainstream<-"
+
   /** The downstream cursor key for an upstream root. */
   def cursorKey(srcRoot: String): String = s"$cursorPrefix$srcRoot"
+
+  private def isChainCursor(k: String): Boolean =
+    k.startsWith(cursorPrefix) || k.startsWith(streamCursorPrefix)
 
   /** A table is either CHAIN-FED or PIPELINE-FED, never both. A chain's
     * ledger keys reuse the upstream source's own prefix with snapshot-
@@ -60,7 +69,7 @@ object Chain {
     */
   def requireNotChainFed(t: ChronicleTable, who: String): Unit =
     if (t.exists) {
-      val chains = t.loadCurrent().cursors.keys.filter(_.startsWith(cursorPrefix))
+      val chains = t.loadCurrent().cursors.keys.filter(isChainCursor)
       require(chains.isEmpty,
         s"table ${t.root} is chain-fed (${chains.mkString(",")}): $who would " +
           "collide with the chain's ledger floors (version-range keys vs " +
@@ -96,7 +105,12 @@ object Chain {
         "(no mark bounds their redelivery), so it cannot be chained")
     if (!dst.exists) dst.create(Model.physicalSchemaV1, numBuckets)
     val dstCursors = dst.loadCurrent().cursors
-    val direct = dstCursors.keys.filterNot(_.startsWith(cursorPrefix))
+    val streamFed = dstCursors.keys.filter(_.startsWith(streamCursorPrefix))
+    require(streamFed.isEmpty,
+      s"table ${dst.root} is stream-chain-fed (${streamFed.mkString(",")}): " +
+        "poll-mode chaining would interleave a second ledger-key scheme " +
+        "with the stream's batch-id keys — keep tailing via followStream")
+    val direct = dstCursors.keys.filterNot(isChainCursor)
     require(direct.isEmpty,
       s"table ${dst.root} is pipeline-fed (cursors ${direct.mkString(",")})" +
         ": chaining into it would collide with the pipeline's batch-index " +
@@ -112,12 +126,7 @@ object Chain {
        else src.readChanges(spark, lastV))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val payload = cur.schema.fieldNames
-        .filterNot(Model.systemColumns.contains).toSeq
-      def asEvents(rows: DataFrame): DataFrame = rows.select(
-        col(Model.lsnColumn).as(Model.ordColumn) +:
-          when(col(Model.deletedColumn), "D").otherwise("U").as("op") +:
-          payload.map(col): _*)
+      val payload = payloadOf(cur.schema)
 
       // one merge per ORIGINAL source, in deterministic order, so the
       // downstream marks stay per-source; rows written before the _source
@@ -130,10 +139,7 @@ object Chain {
       val srcCol = col(Model.sourceColumn)
       val tagged = changes.select(coalesce(srcCol, lit("_legacy")).as("__src"))
         .distinct().collect().map(_.getString(0)).toSet
-      val dstSnap = dst.loadCurrent()
-      val known = (dstSnap.floors.keys ++ dstSnap.hwms.keys)
-        .filterNot(p => p == "compact" || p == "rescale" || p == "_chain")
-        .toSet
+      val known = knownPrefixes(dst.loadCurrent())
       val prefixes = (tagged ++ known).toSeq.sorted match {
         case Nil => Seq("_chain") // empty first poll: cursor-only commit
         case ps => ps
@@ -146,7 +152,7 @@ object Chain {
         // joining mid-stream then tiles from 0 and its floor folds
         // immediately instead of leaving a permanent pre-join gap
         val lo = if (known.contains(s)) lastV + 1 else 0L
-        MergeInto(spark, dst, asEvents(rows),
+        MergeInto(spark, dst, asEvents(rows, payload),
           batchKey = s"$s#$lo-${cur.version}",
           source = s"chain ${src.root} v$lastV->v${cur.version}",
           cursor = if (last) Some(key -> cur.version) else None,
@@ -169,6 +175,28 @@ object Chain {
     n
   }
 
+  /** Payload (non-system) column names of a chained schema. */
+  private def payloadOf(schema: org.apache.spark.sql.types.StructType): Seq[String] =
+    schema.fieldNames.filterNot(Model.systemColumns.contains).toSeq
+
+  /** Re-shape changelog rows into change events: tombstone -> D, live row
+    * -> U, each keeping its ORIGINAL `_lsn` as the event order — the
+    * downstream merge then reproduces the upstream's per-source marks.
+    */
+  private def asEvents(rows: DataFrame, payload: Seq[String]): DataFrame =
+    rows.select(
+      col(Model.lsnColumn).as(Model.ordColumn) +:
+        when(col(Model.deletedColumn), "D").otherwise("U").as("op") +:
+        payload.map(col): _*)
+
+  /** Source prefixes the downstream table has already seen (maintenance
+    * and placeholder prefixes are not sources).
+    */
+  private def knownPrefixes(snap: graft.table.Snapshot): Set[String] =
+    (snap.floors.keys ++ snap.hwms.keys)
+      .filterNot(p => p == "compact" || p == "rescale" || p == "_chain")
+      .toSet
+
   /** Continuous tail: a Structured Streaming query whose every trigger
     * drains the upstream changelog — the always-on form of [[drain]] (the
     * reference's SuroSink forwards continuously as traffic arrives,
@@ -190,4 +218,114 @@ object Chain {
         drain(spark, src, dst, numBuckets, mergeOnRead = mergeOnRead): Unit
       }
       .start()
+
+  /** Continuous tail driven by the NATIVE change-stream source
+    * ([[graft.changes.DefaultSource]], `format("graft.changes")`) instead
+    * of the metronome: the source plans each micro-batch as the
+    * manifest-pruned net changes of a version range, Spark's own offset
+    * log carries the cursor, and the foreachBatch sink applies the batch
+    * idempotently — the north star's "foreachBatch idempotent-commit
+    * sink" verbatim. Versus [[follow]]: position lives in the streaming
+    * checkpoint (offset WAL) rather than the downstream ledger, so the
+    * batch contents are replay-stable by OFFSET (a restarted batch N
+    * re-reads the same version range and its ledger keys `<src>#N` skip),
+    * and the pipeline composes with stream-native rate limiting
+    * (`maxVersionsPerTrigger`) and monitoring. The first batch bootstraps
+    * the full upstream state, like [[pollOnce]]'s first poll.
+    *
+    * A stream-chained table is its own feed mode: [[pollOnce]] refuses
+    * stream-chain-fed tables and vice versa (batch-id keys and
+    * version-range keys under one prefix would mis-fold the ledger).
+    */
+  def followStream(spark: SparkSession, src: ChronicleTable,
+      dst: ChronicleTable, numBuckets: Int = 16, intervalMs: Long = 1000L,
+      mergeOnRead: Boolean = false,
+      maxVersionsPerTrigger: Long = Long.MaxValue,
+      trigger: org.apache.spark.sql.streaming.Trigger = null): org.apache.spark.sql.streaming.StreamingQuery = {
+    val trig = Option(trigger).getOrElse(
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(intervalMs))
+    val cur = src.loadCurrent()
+    require(cur.unordered.isEmpty,
+      s"upstream ${src.root} has unordered sources " +
+        s"${cur.unordered.mkString(",")} — its changelog cannot be tailed " +
+        "(no mark bounds their redelivery), so it cannot be chained")
+    if (!dst.exists) dst.create(Model.physicalSchemaV1, numBuckets)
+    val dstCursors = dst.loadCurrent().cursors
+    val pollFed = dstCursors.keys.filter(_.startsWith(cursorPrefix))
+    require(pollFed.isEmpty,
+      s"table ${dst.root} is poll-chain-fed (${pollFed.mkString(",")}): " +
+        "stream chaining would interleave batch-id ledger keys with the " +
+        "poll chain's version-range keys — keep tailing via pollOnce/follow")
+    val direct = dstCursors.keys.filterNot(isChainCursor)
+    require(direct.isEmpty,
+      s"table ${dst.root} is pipeline-fed (cursors ${direct.mkString(",")})" +
+        ": chaining into it would collide with the pipeline's batch-index " +
+        "ledger keys — see Chain.requireNotChainFed")
+    val markerKey = s"$streamCursorPrefix${src.root}"
+    src.readChangeStream(spark, startingVersion = "bootstrap",
+        maxVersionsPerTrigger = maxVersionsPerTrigger)
+      .writeStream
+      .queryName(s"graft-chainstream-${dst.root.hashCode.toHexString}")
+      .trigger(trig)
+      .option("checkpointLocation", s"${dst.root}/_followstream_checkpoint")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        shipStreamBatch(dst, batch, batchId, markerKey, mergeOnRead): Unit
+      }
+      .start()
+  }
+
+  /** One-shot catch-up through the change-stream source: runs a
+    * Trigger.AvailableNow [[followStream]] to completion (drains every
+    * version committed before the call, then terminates) — the
+    * stream-native form of [[drain]], sharing its checkpoint with
+    * [[followStream]] so the two can alternate on one downstream table.
+    */
+  def syncStream(spark: SparkSession, src: ChronicleTable,
+      dst: ChronicleTable, numBuckets: Int = 16,
+      mergeOnRead: Boolean = false): Unit =
+    followStream(spark, src, dst, numBuckets, mergeOnRead = mergeOnRead,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .awaitTermination()
+
+  /** Apply one change-stream micro-batch downstream, exactly-once: one
+    * merge per ORIGINAL source (downstream marks mirror the upstream's),
+    * ledger keys `<src>#<batchId>` — batch ids are contiguous across
+    * restarts (the offset WAL), so the ledger floor folds them and a
+    * replayed batch skips. A prefix first seen at batch N anchors with the
+    * range key `<src>#0-N` (the pre-join claim is vacuous — nothing was
+    * ever shipped for it), so its keys fold immediately instead of
+    * leaving a permanent 0..N-1 gap; a known prefix with no rows this
+    * batch still commits (metadata-only) to keep its tiling contiguous —
+    * both invariants inherited from [[pollOnce]].
+    */
+  private[cdc] def shipStreamBatch(dst: ChronicleTable,
+      batch: DataFrame, batchId: Long, markerKey: String,
+      mergeOnRead: Boolean): Seq[MergeResult] = {
+    // All work rides the BATCH's (cloned micro-batch) session — see the
+    // session note in MergeInto.apply.
+    val spark = batch.sparkSession
+    val changes = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val payload = payloadOf(batch.schema)
+      val srcCol = col(Model.sourceColumn)
+      val tagged = changes.select(coalesce(srcCol, lit("_legacy")).as("__src"))
+        .distinct().collect().map(_.getString(0)).toSet
+      val known = knownPrefixes(dst.loadCurrent())
+      val prefixes = (tagged ++ known).toSeq.sorted match {
+        case Nil => Seq("_chain") // quiet batch on a fresh table
+        case ps => ps
+      }
+      prefixes.zipWithIndex.map { case (s, i) =>
+        val rows = changes.filter(coalesce(srcCol, lit("_legacy")) === s)
+        val lo = if (known.contains(s)) batchId else 0L
+        val key = if (lo >= batchId) s"$s#$batchId" else s"$s#$lo-$batchId"
+        MergeInto(spark, dst, asEvents(rows, payload),
+          batchKey = key,
+          source = s"chainstream $markerKey batch $batchId",
+          cursor = if (i == prefixes.size - 1) Some(markerKey -> batchId)
+                   else None,
+          mergeOnRead = mergeOnRead)
+      }
+    } finally { changes.unpersist(); () }
+  }
 }

@@ -244,6 +244,38 @@ object RunCdc {
         s"(query ${q.name}); Ctrl-C to stop")
       q.awaitTermination()
 
+    // followstream <srcTableRoot> <dstTableRoot> [numBuckets] [intervalMs]
+    // [maxVersionsPerTrigger]: the always-on chain driven by the native
+    // change-stream source (format "graft.changes") — offsets ride Spark's
+    // own checkpoint, each micro-batch is a manifest-pruned version range,
+    // and maxVersionsPerTrigger rate-limits catch-up
+    case "followstream" =>
+      val src = new graft.table.ChronicleTable(args(1))
+      val dst = new graft.table.ChronicleTable(args(2))
+      val nb = if (args.length > 3) args(3).toInt else 16
+      val interval = if (args.length > 4) args(4).toLong else 1000L
+      val maxV = if (args.length > 5) args(5).toLong else Long.MaxValue
+      val q = Chain.followStream(spark, src, dst, nb, interval,
+        mergeOnRead = sys.env.get("GRAFT_MOR").contains("1"),
+        maxVersionsPerTrigger = maxV)
+      println(s"stream-following ${args(1)} -> ${args(2)} every " +
+        s"${interval}ms (query ${q.name}); Ctrl-C to stop")
+      q.awaitTermination()
+
+    // syncstream <srcTableRoot> <dstTableRoot> [numBuckets]: one-shot
+    // catch-up through the change-stream source (Trigger.AvailableNow) —
+    // drains every version committed before the call, then exits; shares
+    // followstream's checkpoint so the two can alternate
+    case "syncstream" =>
+      val src = new graft.table.ChronicleTable(args(1))
+      val dst = new graft.table.ChronicleTable(args(2))
+      val nb = if (args.length > 3) args(3).toInt else 16
+      Chain.syncStream(spark, src, dst, nb,
+        mergeOnRead = sys.env.get("GRAFT_MOR").contains("1"))
+      val snap = dst.loadCurrent()
+      println(s"synced ${args(1)} -> ${args(2)}; downstream v${snap.version} " +
+        s"rows=${snap.totalRows}")
+
     // serve <tableRoot> <port>: standalone live status endpoint (the
     // reference's StatusServer/HealthCheck, StatusServer.java:46-56) —
     // /healthcheck and /stats off the table metadata + metrics ledger,

@@ -186,6 +186,14 @@ object MergeInto {
         * state); CoW stays right when reads dominate commits.
         */
       mergeOnRead: Boolean = false): MergeResult = {
+    // A foreachBatch batch DataFrame rides the micro-batch's CLONED
+    // session, not the caller's. Every internal scan and the staged write
+    // must run on the BATCH's session: the final action executes under the
+    // plan root's session, and the write-riding Observation only hears
+    // execution-end events from the session it registered on
+    // (ExecutionListenerBus filters by session UUID) — a mixed-session
+    // union leaves commitFiles waiting on the observation forever.
+    val sess = batch.sparkSession
     val base = table.loadCurrent()
     if (ChronicleTable.isCommitted(base, batchKey)) {
       // Exactly-once: replay of an already-applied batch is a no-op.
@@ -293,9 +301,9 @@ object MergeInto {
       def writeStaged(newData: DataFrame): Seq[DataFileMeta] = {
         val staging = table.newStagingDir()
         val parts = math.max(1, math.min(
-          spark.conf.get("spark.sql.shuffle.partitions").toInt, buckets.size * 4))
+          sess.conf.get("spark.sql.shuffle.partitions").toInt, buckets.size * 4))
         val splitsPerBucket = math.max(1, parts / math.max(1, buckets.size))
-        tick("write")(withMicrosTimestamps(spark)(newData
+        tick("write")(withMicrosTimestamps(sess)(newData
           .withColumn("bucket", ChronicleTable.bucketExpr("conv_id", base.numBuckets))
           .withColumn("__split",
             pmod(xxhash64(col("conv_id"), lit(1)), lit(splitsPerBucket)))
@@ -303,7 +311,7 @@ object MergeInto {
           .drop("__split")
           .sortWithinPartitions("bucket", "conv_id", "turn_idx")
           .write.partitionBy("bucket").mode("overwrite").parquet(staging)))
-        tick("stats-job")(collectFileStats(spark, staging))
+        tick("stats-job")(collectFileStats(sess, staging))
       }
 
       // (reads obs — call only after writeStaged's action completed)
@@ -381,7 +389,7 @@ object MergeInto {
           // max per key: exact in pure-CoW (keys unique across base files,
           // the agg is a no-op) and REQUIRED once touched deltas can carry
           // several versions of one key
-          val contested = spark.read.schema(keyLsnSchema).parquet(touchedPaths: _*)
+          val contested = sess.read.schema(keyLsnSchema).parquet(touchedPaths: _*)
             .join(maybeBroadcast(deduped.select(Model.keyColumns.map(col): _*)),
               Model.keyColumns, "left_semi")
             .groupBy(Model.keyColumns.map(col): _*)
@@ -400,7 +408,7 @@ object MergeInto {
       val survivors: Option[DataFrame] =
         if (touched.isEmpty) None
         else {
-          val scan = spark.read.schema(physicalSchema).parquet(touchedPaths: _*)
+          val scan = sess.read.schema(physicalSchema).parquet(touchedPaths: _*)
           // collapse base+delta versions of a key before the rewrite — the
           // new base files must be key-unique (pure-CoW scans already are,
           // and skip the aggregate)

@@ -845,6 +845,26 @@ class ChronicleTable(val root: String) {
     merged.filter(rowFilter)
   }
 
+  /** The changelog as a Structured Streaming SOURCE — the always-on form
+    * of [[readChanges]]: offsets are snapshot versions, each micro-batch
+    * is the manifest-pruned net changes of a version range, the stream's
+    * checkpoint carries the cursor. See [[graft.changes.DefaultSource]]
+    * for semantics and options.
+    *
+    * `startingVersion`: `"latest"` (tail new commits only), `"bootstrap"`
+    * (full state first, then tail), or a retained version number.
+    * `maxVersionsPerTrigger` bounds commits per micro-batch (admission
+    * control).
+    */
+  def readChangeStream(spark: SparkSession,
+      startingVersion: String = "latest",
+      maxVersionsPerTrigger: Long = Long.MaxValue): DataFrame =
+    spark.readStream.format("graft.changes")
+      .option("path", root)
+      .option("startingVersion", startingVersion)
+      .option("maxVersionsPerTrigger", maxVersionsPerTrigger)
+      .load()
+
   /** Point lookup: every current row of ONE key (a conversation's visible
     * turns), planned from metadata alone — the key's hash bucket is
     * computed driver-side ([[ChronicleTable.bucketOf]] mirrors the write
