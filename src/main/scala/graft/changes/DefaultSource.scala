@@ -40,6 +40,16 @@ import scala.jdk.CollectionConverters._
   *    micro-batch may cover (admission control — the reference's
   *    pause-aware batch draining, QueuedSink.java:96-153). Default
   *    unbounded.
+  *  - `columns`: comma-separated data columns to carry (default all).
+  *    The v2 STREAMING contract has no optimizer pushdown — unlike batch
+  *    relations, `MicroBatchExecution` builds the scan once at stream
+  *    start and `V2ScanRelationPushDown` never visits it (verified
+  *    against the Spark 4.1 planner) — so a downstream `.select` cannot
+  *    prune the parquet read. This option IS the projection: a tail that
+  *    wants two columns of a wide transcript table reads two column
+  *    chunks, not the `text` blobs. System columns (`_lsn`, `_deleted`,
+  *    `_source`) always ride along — they are the change metadata and
+  *    the mark filter needs them.
   *
   * Batch (fromV, toV] semantics mirror `readChanges(fromV)` evaluated at
   * `toV`: every row LIVE at `toV` whose `_lsn` exceeds ITS OWN source's
@@ -76,13 +86,37 @@ class DefaultSource extends TableProvider {
       throw new IllegalArgumentException(
         "graft.changes requires option 'path' (the table root)"))
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    new ChronicleTable(pathOf(options)).loadCurrent().schema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val full = new ChronicleTable(pathOf(options)).loadCurrent().schema
+    DefaultSource.projectColumns(full, Option(options.get("columns")))
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
     new ChangesTable(schema,
       pathOf(new CaseInsensitiveStringMap(properties)), properties)
+}
+
+private[changes] object DefaultSource {
+
+  /** The stream schema under a `columns` projection: the requested data
+    * columns in TABLE order, plus the system columns (always — they are
+    * the change metadata). Unknown names fail at stream construction,
+    * not as an empty column mid-run.
+    */
+  def projectColumns(full: StructType, columns: Option[String]): StructType =
+    columns.map(_.trim).filter(_.nonEmpty) match {
+      case None => full
+      case Some(spec) =>
+        val want = spec.split(",").map(_.trim).filter(_.nonEmpty)
+        val known = full.fieldNames.toSet
+        val missing = want.filterNot(known.contains)
+        require(missing.isEmpty,
+          s"columns option names fields not in the table: " +
+            s"${missing.mkString(",")} (have ${full.fieldNames.mkString(",")})")
+        val keep = want.toSet ++ graft.model.Model.systemColumns
+        StructType(full.fields.filter(f => keep.contains(f.name)))
+    }
 }
 
 private[changes] class ChangesTable(schema0: StructType, root: String,
@@ -156,6 +190,18 @@ private[changes] class ChangesMicroBatchStream(schema0: StructType,
     * drains to a fixed target and terminates even while writers commit.
     */
   @volatile private var availableNowTarget: Option[Long] = None
+
+  /** The CURRENT batch's conservative lsn floor (the minimum per-source
+    * mark), stashed by [[planInputPartitions]] for [[createReaderFactory]]
+    * to push into the parquet reader as a data filter — row groups and
+    * pages whose `_lsn` stats sit wholly at-or-below the floor are skipped
+    * inside files that survived manifest pruning (a rewritten/compacted
+    * file is mostly pre-cursor rows). Sound under the exact per-source
+    * filter on top: every row's own mark is >= the minimum, so a row the
+    * floor removes could never pass. Micro-batches execute strictly
+    * sequentially (plan -> execute -> commit), so one slot suffices.
+    */
+  @volatile private var batchLsnFloor: Option[Long] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(table.loadCurrent().version)
@@ -232,11 +278,14 @@ private[changes] class ChangesMicroBatchStream(schema0: StructType,
     requireSchemaCompatible(to)
 
     val (files, marks, globalMark, filtered) =
-      if (fromV < 0L) (table.filesOf(to), Map.empty[String, Long], -1L, false)
-      else {
+      if (fromV < 0L) {
+        batchLsnFloor = None
+        (table.filesOf(to), Map.empty[String, Long], -1L, false)
+      } else {
         val since = table.loadVersion(fromV)
         val m = to.hwms.map { case (s, _) => s -> since.hwmFor(s) }
         val thr = if (m.nonEmpty) m.values.min else since.hwmLsn
+        batchLsnFloor = Some(thr)
         val kept = to.manifestList
           .filter(mf => mf.maxLsn < 0L || mf.maxLsn > thr)
           .flatMap(mf => table.loadManifest(mf.path))
@@ -262,13 +311,17 @@ private[changes] class ChangesMicroBatchStream(schema0: StructType,
   override def createReaderFactory(): PartitionReaderFactory = {
     // Spark's own codegen'd parquet reader, planned once on the driver and
     // shipped (it broadcasts its hadoop conf internally); row-based output
-    // so the mark filter below sees InternalRows
+    // so the mark filter below sees InternalRows. The conservative lsn
+    // floor rides along as a parquet data filter (row-group/page pruning
+    // inside kept files); the exact per-source filter still runs on top.
+    val pushed = batchLsnFloor.toSeq.map(thr =>
+      org.apache.spark.sql.sources.GreaterThan(graft.model.Model.lsnColumn, thr))
     val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
       sparkSession = spark,
       dataSchema = schema0,
       partitionSchema = new StructType(),
       requiredSchema = schema0,
-      filters = Nil,
+      filters = pushed,
       options = Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
       hadoopConf = spark.sessionState.newHadoopConf())
     val lsnIdx = schema0.fieldIndex(graft.model.Model.lsnColumn)

@@ -858,12 +858,15 @@ class ChronicleTable(val root: String) {
     */
   def readChangeStream(spark: SparkSession,
       startingVersion: String = "latest",
-      maxVersionsPerTrigger: Long = Long.MaxValue): DataFrame =
-    spark.readStream.format("graft.changes")
+      maxVersionsPerTrigger: Long = Long.MaxValue,
+      columns: Seq[String] = Nil): DataFrame = {
+    val r = spark.readStream.format("graft.changes")
       .option("path", root)
       .option("startingVersion", startingVersion)
       .option("maxVersionsPerTrigger", maxVersionsPerTrigger)
-      .load()
+    (if (columns.nonEmpty) r.option("columns", columns.mkString(","))
+     else r).load()
+  }
 
   /** Point lookup: every current row of ONE key (a conversation's visible
     * turns), planned from metadata alone — the key's hash bucket is

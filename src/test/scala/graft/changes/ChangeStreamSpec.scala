@@ -201,6 +201,75 @@ class ChangeStreamSpec extends SparkSpec {
     assert(boot.forall(!_.filtered))
   }
 
+  test("columns option prunes the stream schema; tail batches stay exact under the pushed lsn floor") {
+    import org.apache.spark.sql.streaming.Trigger
+    val cfg = BinlogConfig(numEvents = 800, numConversations = 6,
+      segmentSize = 200, dupPct = 5, pDelete = 0.0)
+    val src = tmpDir("cs-col-bl")
+    BinlogGenerator.writeSegments(spark, cfg, src)
+    val p = new CdcPipeline(PipelineConfig(src, tmpDir("cs-col-up"),
+      segmentsPerBatch = 2, numBuckets = 4))
+    p.runAll(spark, maxBatches = 1)
+
+    // the v2 streaming contract has no optimizer pushdown, so `columns`
+    // IS the projection: requested data columns in table order, system
+    // columns always riding along (they are the change metadata)
+    val ck = tmpDir("cs-col-ck")
+    val pruned = p.table.readChangeStream(spark,
+      startingVersion = "bootstrap", columns = Seq("turn_idx", "conv_id"))
+    assert(pruned.schema.fieldNames.toSeq ==
+      Seq("conv_id", "turn_idx", Model.lsnColumn, Model.deletedColumn,
+        Model.sourceColumn))
+
+    // memory sink can't resume a checkpoint; foreachBatch can — collect
+    // each drain pass's rows (conv_id, turn_idx, _lsn, _deleted)
+    def drainTo(): Seq[(String, Int, Long, Boolean)] = {
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[
+        (String, Int, Long, Boolean)]()
+      val q = p.table.readChangeStream(spark,
+          startingVersion = "bootstrap", columns = Seq("conv_id", "turn_idx"))
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select("conv_id", "turn_idx", Model.lsnColumn,
+              Model.deletedColumn)
+            .collect().foreach(r => got.add(
+              (r.getString(0), r.getInt(1), r.getLong(2), r.getBoolean(3))))
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      got.asScala.toSeq
+    }
+
+    // bootstrap batch = the full visible state, pruned columns only
+    val boot = drainTo()
+    val bootKeys = boot.filterNot(_._4).map(r => (r._1, r._2)).toSet
+    val wantBoot = p.table.read(spark).filter(!col(Model.deletedColumn))
+      .select("conv_id", "turn_idx")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(bootKeys == wantBoot)
+
+    // upstream moves on; the SAME checkpoint resumes and the tail batch —
+    // planned with the pushed `_lsn > floor` parquet filter — carries
+    // exactly the net changes the batch changelog reports
+    val fromV = p.table.loadCurrent().version
+    p.runAll(spark)
+    val tail = drainTo().map(r => (r._1, r._2, r._3)).toSet
+    val want = p.table.readChanges(spark, fromV)
+      .select("conv_id", "turn_idx", Model.lsnColumn)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(tail == want, "pruned tail batch drifted from the batch changelog")
+
+    // unknown names fail at stream construction, not as nulls mid-run
+    val bad = intercept[IllegalArgumentException] {
+      p.table.readChangeStream(spark, columns = Seq("conv_id", "nope"))
+    }
+    assert(bad.getMessage.contains("nope"))
+  }
+
   test("admission control: maxVersionsPerTrigger bounds each batch's version range") {
     val cfg = BinlogConfig(numEvents = 800, numConversations = 6,
       segmentSize = 100, dupPct = 0, pDelete = 0.0)
@@ -226,6 +295,43 @@ class ChangeStreamSpec extends SparkSpec {
     val o3 = s.latestOffset(VersionOffset(cur), s.getDefaultReadLimit)
       .asInstanceOf[VersionOffset]
     assert(o3.version == cur)
+  }
+
+  test("exactly-once across upstream REWRITES: compaction and rescale mid-tail re-ship nothing") {
+    import graft.ops.{Compaction, Rescale}
+    val cfg = BinlogConfig(numEvents = 1200, numConversations = 8,
+      segmentSize = 200, dupPct = 5, pDelete = 0.0)
+    val src = tmpDir("cs-rw-bl")
+    BinlogGenerator.writeSegments(spark, cfg, src)
+    val p = new CdcPipeline(PipelineConfig(src, tmpDir("cs-rw-up"),
+      segmentsPerBatch = 1, numBuckets = 4))
+    val down = new ChronicleTable(tmpDir("cs-rw-down"))
+
+    p.runAll(spark, maxBatches = 2)
+    Chain.syncStream(spark, p.table, down, numBuckets = 4)
+    assert(visible(down) == visible(p.table))
+    val rowsAfterBoot = down.loadCurrent().totalRows
+
+    // a compaction and a rescale RE-ADD every upstream file (new paths,
+    // same rows, same lsns) between tail passes — the per-source mark
+    // filter must classify every rewritten row as already-shipped, even
+    // though no manifest bound can prune the fresh wide-lsn files
+    Compaction(spark, p.table, maxFilesPerBucket = 1)
+    Rescale(spark, p.table, newNumBuckets = 8)
+    Chain.syncStream(spark, p.table, down, numBuckets = 4)
+    assert(down.loadCurrent().totalRows == rowsAfterBoot,
+      "a rewrite-only version range must ship zero rows")
+    noDupKeys(down)
+
+    // new data committed AFTER the rewrites still arrives exactly-once
+    p.runAll(spark)
+    Rescale(spark, p.table, newNumBuckets = 2) // rewrite again, post-data
+    Chain.syncStream(spark, p.table, down, numBuckets = 4)
+    assert(visible(down) == visible(p.table))
+    noDupKeys(down)
+    val oracle = BinlogGenerator.referenceReduction(cfg)
+      .values.map(e => (e.conv_id, e.turn_idx, e.text)).toSet
+    assert(visible(down) == oracle)
   }
 
   test("guards: feed-mode exclusivity, unordered upstreams, expired cursors, schema drift") {
