@@ -4,7 +4,7 @@ import graft.ann.Ann
 import graft.dedup.DocDedup
 import graft.mm.Multimodal
 import graft.queries.{CdcQueries, RelationalQueries}
-import graft.textops.TextOps
+import graft.textops.{Corpus, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -94,6 +94,11 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextOps.qualityScore(s, d)),
     "text_lang_id" -> ((s, d) => TextOps.langId(s, d)),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprint(s, d)),
+    // ------------------------------------------------- corpus construction
+    "corpus_split" -> ((s, d) => Corpus.splitAssign(s, d)),
+    "corpus_pack" -> ((s, d) => Corpus.packSequences(s, d)),
+    "corpus_sample_stratified" -> ((s, d) => Corpus.sampleStratified(s, d)),
+    "corpus_mixture" -> ((s, d) => Corpus.mixture(s, d)),
     // ------------------------------------------------- deduplication
     "dedup_exact" -> ((s, d) => DocDedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => DocDedup.ngramJaccardPairs(s, d)),
@@ -354,6 +359,52 @@ object SparkEntry {
         |    unnest([md5(substring(text, i, 8)) for i in range(1, greatest(length(text) - 7, 1) + 1)]) AS sh
         |  FROM documents WHERE length(text) > 0)
         |SELECT doc_id, min(sh) AS fingerprint FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "corpus_split" ->
+      """SELECT doc_id,
+        |  substr(md5(doc_id::VARCHAR), 1, 2) AS split_bucket,
+        |  CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'e6' THEN 'train'
+        |       WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'f3' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "corpus_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 16 AS pack_shard,
+        |    least((n_chars + 3) // 4, 2048) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, pack_shard, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY pack_shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT doc_id, pack_shard, n_tokens,
+        |  ((cum - n_tokens) // 2048)::BIGINT AS bin_id
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "corpus_sample_stratified" ->
+      """WITH r AS (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS sample_rank
+        |  FROM documents)
+        |SELECT lang, doc_id, sample_rank FROM r WHERE sample_rank <= 20
+        |ORDER BY lang, sample_rank""".stripMargin,
+
+    "corpus_mixture" ->
+      """WITH rates AS (
+        |  SELECT source,
+        |    CASE WHEN regexp_extract(source, '([0-9]+)$', 1)::INT % 2 = 0
+        |         THEN 100 ELSE 25 END AS weight_pct
+        |  FROM (SELECT DISTINCT source FROM documents)),
+        |k AS (
+        |  SELECT d.source, r.weight_pct,
+        |    (('0x' || substr(md5(d.doc_id::VARCHAR || d.source), 1, 2))::INT
+        |      * 100 < r.weight_pct * 256) AS kept
+        |  FROM documents d JOIN rates r USING (source))
+        |SELECT source, weight_pct, count(*) AS n_total,
+        |  count(*) FILTER (WHERE kept) AS n_kept
+        |FROM k GROUP BY source, weight_pct ORDER BY source""".stripMargin,
 
     "dedup_exact" ->
       """SELECT doc_id,

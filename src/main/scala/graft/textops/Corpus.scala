@@ -1,0 +1,127 @@
+package graft.textops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-construction operators: the steps between "deduplicated
+  * documents" and "training batches" — deterministic split assignment,
+  * context-window sequence packing, stratified subsampling, and source
+  * mixture construction. The reference stops at routed delivery
+  * (MessageRouter.java:41-74 hands batches to sinks); these are the
+  * consumer-side operations a training-data pipeline runs on what lands.
+  *
+  * Everything is keyed on content-independent hashes (`md5` of the
+  * document id), so assignments are REPRODUCIBLE across runs, engines,
+  * and re-partitioning — no RNG, no row order dependence. All expressions
+  * are built-in and codegen'd; each op has an exact DuckDB twin in
+  * [[graft.SparkEntry.oracleSql]].
+  */
+object Corpus {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** First hex byte of md5 of the id rendered as decimal — a uniform,
+    * engine-portable bucket in [0, 256).
+    */
+  private def hexBucket(c: Column): Column = substring(md5(c.cast("string")), 1, 2)
+
+  /** Train/val/test assignment by hash, ~90/5/5: the first md5 byte of
+    * the doc id lands in [0,230) / [230,243) / [243,256), compared
+    * lexicographically on the hex so both engines agree byte-for-byte.
+    * A pure projection: no shuffle, no state, and a document keeps its
+    * split forever regardless of what else enters the corpus — the
+    * property that makes held-out sets trustworthy under incremental
+    * ingest (new CDC batches can be split-assigned file-by-file).
+    */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame = {
+    val b = hexBucket(col("doc_id"))
+    docs(spark, dir).select(
+      col("doc_id"),
+      b.as("split_bucket"),
+      when(b < "e6", "train").when(b < "f3", "val").otherwise("test")
+        .as("split"))
+      .orderBy("doc_id")
+  }
+
+  /** Tokens per context window. */
+  val PackWindow = 2048L
+
+  /** Parallel packing shards: at 100 TB this is sized so one shard's
+    * token stream fits a task (shard count scales with the cluster; the
+    * assignment `doc_id % shards` is deterministic and join-free).
+    */
+  val PackShards = 16L
+
+  /** Sequence packing: assign documents to fixed-size context windows
+    * (bins of [[PackWindow]] tokens) by cumulative offset. Documents are
+    * sharded by `doc_id % shards`, ordered by id within a shard, and a
+    * document starts in the bin where its running offset lands —
+    * single-pass, one shuffle, no driver state. A document may straddle
+    * a bin boundary (the trainer's loader splits or pads there); at most
+    * window-1 tokens per straddle are carried over, the standard
+    * streaming-pack tradeoff vs. bin-packing's global sort. Token counts
+    * are the chars/4 estimate capped at the window (an over-long doc
+    * occupies its own bins).
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val tok = least(((col("n_chars") + 3L) / 4L).cast("long"), lit(PackWindow))
+    val w = Window.partitionBy("pack_shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(spark, dir)
+      .select(col("doc_id"), (col("doc_id") % PackShards).as("pack_shard"),
+        tok.as("n_tokens"))
+      .withColumn("bin_id",
+        ((sum("n_tokens").over(w) - col("n_tokens")) / PackWindow).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  /** Documents kept per stratum. */
+  val SampleK = 20
+
+  /** Stratified deterministic sample: the [[SampleK]] documents with the
+    * smallest md5 in each language — a bottom-k-by-hash sketch per
+    * stratum, i.e. a uniform sample that is STABLE under corpus growth
+    * (a new document evicts at most one, at the boundary). One shuffle
+    * on the stratum key; rank-within-group rides it. Skewed strata
+    * (one language dominating a web corpus) sort only their own
+    * partitions, and the hash sort key keeps AQE free to split them.
+    */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        row_number().over(w).as("sample_rank"))
+      .filter(col("sample_rank") <= SampleK)
+      .orderBy("lang", "sample_rank")
+  }
+
+  /** Mixture construction: subsample each source to a target weight so
+    * the training mix hits declared proportions (here: even-numbered
+    * sources kept at 100%, odd at 25% — the weights table is derived
+    * from the source names so the op is scale-factor-agnostic). A row is
+    * kept iff its per-(doc,source) hash byte clears the weight
+    * threshold — deterministic admission, the distributed analogue of
+    * weighted reservoir sampling. The weights dim is broadcast (it is
+    * O(sources)); the verdict per row is a codegen'd expression, and the
+    * output is the per-source audit (total vs kept vs target).
+    */
+  def mixture(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val rates = d.select(col("source")).distinct()
+      .withColumn("weight_pct",
+        when(regexp_extract(col("source"), "([0-9]+)$", 1).cast("int") % 2 === 0,
+          100).otherwise(25))
+    val bucket = conv(hexBucket(concat(col("doc_id").cast("string"),
+      col("source"))), 16, 10).cast("int")
+    d.join(broadcast(rates), "source")
+      .withColumn("kept", bucket * 100 < col("weight_pct") * 256)
+      .groupBy("source", "weight_pct")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .select("source", "weight_pct", "n_total", "n_kept")
+      .orderBy("source")
+  }
+}
