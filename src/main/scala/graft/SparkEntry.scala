@@ -104,6 +104,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => DocDedup.ngramJaccardPairs(s, d)),
     "dedup_minhash_sig" -> ((s, d) => DocDedup.minhashSignatures(s, d)),
     "dedup_lsh_pairs" -> ((s, d) => DocDedup.lshPairs(s, d)),
+    "dedup_incremental_pairs" -> ((s, d) => DocDedup.lshPairsIncrementalQuery(s, d)),
     "dedup_cluster_reps" -> ((s, d) => DocDedup.lshClusterReps(s, d)),
     "dedup_simhash" -> ((s, d) => DocDedup.simhash(s, d)),
     // ------------------------------------------------- similarity search
@@ -452,6 +453,29 @@ object SparkEntry {
          |  FROM cand JOIN sig sx ON sx.doc_id = a JOIN sig sy ON sy.doc_id = b AND sy.perm = sx.perm
          |  GROUP BY a, b)
          |SELECT a, b, est_sim_e4 FROM est WHERE est_sim_e4 >= 5000 ORDER BY a, b""".stripMargin,
+
+    // incremental dedup = the batch restriction of the full pair set
+    // (signatures are deterministic in the text, so index-reuse and
+    // recompute-the-world agree); docs with doc_id % 5 = 0 play the batch
+    "dedup_incremental_pairs" ->
+      s"""WITH g AS ($shinglesSql),
+         |bse AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT % 1000003 AS base FROM g),
+         |sig AS (SELECT doc_id, perm,
+         |    min(((perm * 2 + 3) * base + (perm * 5 + 7)) % 1000003) AS minhash
+         |  FROM bse, (SELECT unnest(range(0, 16)) AS perm) GROUP BY doc_id, perm),
+         |bands AS (SELECT doc_id, perm // 4 AS band,
+         |    array_to_string(list(minhash ORDER BY perm), ',') AS bandsig
+         |  FROM sig GROUP BY doc_id, perm // 4),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y ON x.band = y.band AND x.bandsig = y.bandsig
+         |  WHERE x.doc_id < y.doc_id),
+         |est AS (SELECT a, b,
+         |    (sum(CASE WHEN sx.minhash = sy.minhash THEN 1 ELSE 0 END) * 10000 / 16)::BIGINT AS est_sim_e4
+         |  FROM cand JOIN sig sx ON sx.doc_id = a JOIN sig sy ON sy.doc_id = b AND sy.perm = sx.perm
+         |  GROUP BY a, b)
+         |SELECT a, b, est_sim_e4 FROM est
+         |WHERE est_sim_e4 >= 5000 AND (a % 5 = 0 OR b % 5 = 0)
+         |ORDER BY a, b""".stripMargin,
 
     // connected components of the LSH pair graph = transitive closure in
     // SQL: recursive reach CTE, then min reachable id per node as the

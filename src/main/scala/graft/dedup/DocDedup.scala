@@ -121,20 +121,33 @@ object DocDedup {
     // uncached by design — see ngramJaccardPairs; minhash values are exact
     // integers, so every recomputation agrees
     val sig = minhashSignatures(spark, dir)
-    // band signature must be order-deterministic: sort (perm, minhash)
-    // pairs before concatenating
-    val bands2 = sig
-      .withColumn("band", (col("perm") / 4).cast("int"))
+    val bands2 = bandSigs(sig)
+    val l = bands2.select(col("doc_id").as("a"), col("band"), col("bandsig"))
+    val r = bands2.select(col("doc_id").as("b"), col("band"), col("bandsig"))
+    val cand = l.join(r, Seq("band", "bandsig")).filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    verifyPairs(cand, sig)
+  }
+
+  /** Banded signatures of a MinHash table: one row per (doc, band) with an
+    * order-deterministic band signature — (perm, minhash) pairs are sorted
+    * before concatenation, so the signature is independent of aggregation
+    * order. This is the LSH index's physical key: the shuffle/bucket
+    * column of every candidate join.
+    */
+  def bandSigs(sig: DataFrame): DataFrame =
+    sig.withColumn("band", (col("perm") / 4).cast("int"))
       .groupBy("doc_id", "band")
       .agg(sort_array(collect_list(struct(col("perm"), col("minhash"))))
         .as("pm"))
       .select(col("doc_id"), col("band"),
         concat_ws(",", transform(col("pm"), x => x.getField("minhash")))
           .as("bandsig"))
-    val l = bands2.select(col("doc_id").as("a"), col("band"), col("bandsig"))
-    val r = bands2.select(col("doc_id").as("b"), col("band"), col("bandsig"))
-    val cand = l.join(r, Seq("band", "bandsig")).filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+
+  /** Estimated-similarity verification of candidate pairs against the
+    * signature table: fraction of matching minhashes >= 0.5.
+    */
+  private def verifyPairs(cand: DataFrame, sig: DataFrame): DataFrame = {
     val sa = sig.select(col("doc_id").as("a"), col("perm"), col("minhash").as("ma"))
     val sb = sig.select(col("doc_id").as("b"), col("perm"), col("minhash").as("mb"))
     cand.join(sa, Seq("a")).join(sb, Seq("b", "perm"))
@@ -143,6 +156,49 @@ object DocDedup {
         minhashPerms).cast("long").as("est_sim_e4"))
       .filter(col("est_sim_e4") >= 5000)
       .orderBy("a", "b")
+  }
+
+  /** Incremental LSH: near-dup candidates for a NEW batch of documents
+    * against an already-signed corpus, with the corpus's signatures
+    * REUSED (read from the index, never recomputed from text). Per-batch
+    * work is O(batch bands + matched buckets) — a CDC-fed corpus dedups
+    * each arriving batch without re-LSHing the world, the only shape that
+    * survives at 100 TB (re-banding the corpus per batch is a full scan;
+    * this is an index lookup). Output pairs have at least one new side;
+    * old-old pairs were a previous batch's output. The result is
+    * EXACTLY `lshPairs` restricted to pairs touching the batch, because
+    * signatures are deterministic in the text — incremental and batch
+    * dedup converge to the same pair set (spec-asserted).
+    *
+    * @param newSigs  minhash signatures of the arriving batch
+    *                 ([[minhashSignatures]] shape: doc_id, perm, minhash)
+    * @param indexSigs the persisted signature index of everything seen
+    */
+  def lshPairsIncremental(newSigs: DataFrame, indexSigs: DataFrame): DataFrame = {
+    val allSigs = indexSigs.unionByName(newSigs)
+    val nb = bandSigs(newSigs)
+      .select(col("doc_id").as("n"), col("band"), col("bandsig"))
+    val ib = bandSigs(allSigs)
+      .select(col("doc_id").as("m"), col("band"), col("bandsig"))
+    // new-vs-(index ∪ new): one bucket join keyed on the band signature;
+    // the batch side is the small side (broadcastable when tiny)
+    val cand = nb.join(ib, Seq("band", "bandsig"))
+      .filter(col("n") =!= col("m"))
+      .select(least(col("n"), col("m")).as("a"),
+        greatest(col("n"), col("m")).as("b"))
+      .distinct()
+    verifyPairs(cand, allSigs)
+  }
+
+  /** Oracle wrapper for [[lshPairsIncremental]]: documents with
+    * `doc_id % 5 = 0` play the arriving batch, the rest the signed
+    * corpus. Equal to `lshPairs` filtered to batch-touching pairs.
+    */
+  def lshPairsIncrementalQuery(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSignatures(spark, dir)
+    lshPairsIncremental(
+      sig.filter(col("doc_id") % 5 === 0),
+      sig.filter(col("doc_id") % 5 =!= 0))
   }
 
   /** Connected-component clustering of the LSH near-duplicate pair graph:

@@ -57,6 +57,37 @@ class DocDedupSpec extends SparkSpec {
     assert(!lsh.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("incremental LSH: batch-vs-index equals batch dedup, index reused from parquet") {
+    // doc 0 plays the arriving batch; 1-4 the signed corpus. Incremental
+    // output must be EXACTLY the full pair set restricted to pairs
+    // touching the batch: (0,1) near-dup and (0,2) exact survive, the
+    // old-old near-dup (1,2) — a previous batch's output — does not.
+    val sig = DocDedup.minhashSignatures(spark, dir)
+    val newSigs = sig.filter(col("doc_id") === 0L)
+
+    // the corpus's signatures round-trip through a persisted index (the
+    // point of the op: old TEXT is never re-read, only its signatures)
+    val idx = tmpDir("lsh-index")
+    sig.filter(col("doc_id") =!= 0L).write.mode("overwrite").parquet(idx)
+    val indexSigs = spark.read.parquet(idx)
+
+    val inc = DocDedup.lshPairsIncremental(newSigs, indexSigs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val full = DocDedup.lshPairs(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(inc == full.filter { case ((a, b), _) => a == 0L || b == 0L })
+    assert(inc.contains((0L, 1L)) && inc((0L, 2L)) == 10000L)
+    assert(!inc.contains((1L, 2L)), "old-old pair re-emitted")
+
+    // a batch of NEW near-dups of each other (neither in the index) is
+    // still caught — new-vs-new rides the same bucket join
+    val both = sig.filter(col("doc_id").isin(0L, 2L))
+    val incNN = DocDedup.lshPairsIncremental(both,
+        sig.filter(!col("doc_id").isin(0L, 2L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(incNN.contains((0L, 2L)))
+  }
+
   test("LSH cluster reps: transitive closure of the pair graph, min-id canonical") {
     // chained corpus: 0~1 and 1~2 are near-dups but 0 and 2 drift further
     // apart — the component {0,1,2} must still share one representative
