@@ -99,6 +99,7 @@ object SparkEntry {
     "corpus_pack" -> ((s, d) => Corpus.packSequences(s, d)),
     "corpus_sample_stratified" -> ((s, d) => Corpus.sampleStratified(s, d)),
     "corpus_mixture" -> ((s, d) => Corpus.mixture(s, d)),
+    "corpus_decontaminate" -> ((s, d) => Corpus.decontaminate(s, d)),
     // ------------------------------------------------- deduplication
     "dedup_exact" -> ((s, d) => DocDedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => DocDedup.ngramJaccardPairs(s, d)),
@@ -406,6 +407,18 @@ object SparkEntry {
         |SELECT source, weight_pct, count(*) AS n_total,
         |  count(*) FILTER (WHERE kept) AS n_kept
         |FROM k GROUP BY source, weight_pct ORDER BY source""".stripMargin,
+
+    "corpus_decontaminate" ->
+      s"""WITH g AS ($shinglesSql),
+         |ev AS (SELECT DISTINCT sh FROM g WHERE doc_id % 97 = 0),
+         |tr AS (SELECT doc_id, sh FROM g WHERE doc_id % 97 <> 0),
+         |c AS (SELECT doc_id, count(*) AS n_sh FROM tr GROUP BY doc_id),
+         |s AS (SELECT tr.doc_id, count(*) AS n_shared
+         |  FROM tr JOIN ev USING (sh) GROUP BY tr.doc_id)
+         |SELECT c.doc_id, c.n_sh, coalesce(s.n_shared, 0) AS n_shared,
+         |  coalesce(s.n_shared, 0) * 2 >= c.n_sh AS contaminated
+         |FROM c LEFT JOIN s ON s.doc_id = c.doc_id
+         |ORDER BY c.doc_id""".stripMargin,
 
     "dedup_exact" ->
       """SELECT doc_id,

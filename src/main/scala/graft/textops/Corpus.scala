@@ -98,6 +98,32 @@ object Corpus {
       .orderBy("lang", "sample_rank")
   }
 
+  /** Benchmark decontamination: flag training documents whose word
+    * 3-gram shingles substantially overlap a held-out evaluation set
+    * (docs with `doc_id % 97 = 0` play the eval suite). The eval side is
+    * tiny by construction — eval suites are curated — so its distinct
+    * shingle set BROADCASTS and contamination scoring is a map-side
+    * semi-join + one aggregate by doc: no corpus-sized shuffle beyond
+    * the per-doc shingle count the pipeline computes anyway. A doc is
+    * contaminated when at least half its shingles appear somewhere in
+    * the eval set (catches verbatim inclusions and near-copies; the
+    * threshold is a declared policy, not a tuned constant).
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.DocDedup
+    val sh = DocDedup.shingles(spark, dir)
+    val evalSet = sh.filter(col("doc_id") % 97 === 0).select("sh").distinct()
+    val train = sh.filter(col("doc_id") % 97 =!= 0)
+    val counts = train.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val shared = train.join(broadcast(evalSet), Seq("sh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    counts.join(shared, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_shared"))
+      .select(col("doc_id"), col("n_sh"), col("n_shared"),
+        (col("n_shared") * 2 >= col("n_sh")).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   /** Mixture construction: subsample each source to a target weight so
     * the training mix hits declared proportions (here: even-numbered
     * sources kept at 100%, odd at 25% — the weights table is derived

@@ -93,6 +93,37 @@ class CorpusSpec extends SparkSpec {
     assert(s2.exists(_._2 >= 2000L))
   }
 
+  test("decontaminate: verbatim eval copies flagged, brushing overlap is not") {
+    val d = tmpDir("corpus-decon")
+    val evalText = "the quick brown fox jumps over the lazy dog " +
+      "repeatedly every single morning before breakfast is served"
+    Seq(
+      (0L, evalText, "en", "eval", evalText.length.toLong), // 0 % 97 == 0: eval
+      (1L, evalText, "en", "web", 0L),                      // verbatim copy
+      (2L, "analysis shows the quick brown fox phrase appears in many " +
+        "corpora but this document mostly discusses shuffle partitioning " +
+        "strategies for distributed joins at petabyte scale", "en", "web", 0L),
+      (3L, "completely unrelated content about catalyst optimizer rules " +
+        "and adaptive query execution in columnar engines", "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+
+    val rows = Corpus.decontaminate(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(!rows.contains(0L), "eval docs are not scored")
+    assert(rows(1L)._3, "verbatim eval copy must be contaminated")
+    assert(rows(1L)._1 == rows(1L)._2, "copy shares every shingle")
+    assert(!rows(2L)._3 && rows(2L)._2 > 0L,
+      s"phrase-brush must overlap but stay clean: ${rows(2L)}")
+    assert(rows(3L) == ((rows(3L)._1, 0L, false)), "clean doc flagged")
+
+    // the eval shingle set rides a broadcast — no corpus-sized shuffle
+    // on the contamination join
+    val plan = Corpus.decontaminate(spark, d).queryExecution.executedPlan
+    assert(plan.toString.contains("Broadcast"), plan.toString)
+  }
+
   test("mixture: keep-rates converge on the declared weights") {
     val rows = Corpus.mixture(spark, dir).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
