@@ -100,9 +100,13 @@ object DocDedup {
   /** MinHash signatures: perm p of doc d = min over shingles s of
     * ((2p+3) * (md5Long(s) mod P) + (5p+7)) mod P. Exact integer math, no
     * overflow (35 * 1e6 << 2^63), so the oracle reproduces it bit-for-bit.
-    * Output: one row per (doc_id, perm).
+    * Output: one row per (doc_id, perm), UNORDERED — this is the building
+    * block every LSH op composes on; adding a global orderBy here would
+    * drag a full sort+range-exchange into each of them (Catalyst cannot
+    * eliminate a sort under collect_list: that aggregate is
+    * order-sensitive even though bandSigs re-sorts).
     */
-  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+  def sigTable(spark: SparkSession, dir: String): DataFrame =
     shingles(spark, dir)
       .withColumn("base", md5Long(col("sh")) % minhashPrime)
       .select(col("doc_id"), col("base"),
@@ -111,7 +115,10 @@ object DocDedup {
       .agg(min(((col("perm") * 2 + 3) * col("base") + (col("perm") * 5 + 7))
         % minhashPrime).as("minhash"))
       .select(col("doc_id"), col("perm").cast("long").as("perm"), col("minhash"))
-      .orderBy("doc_id", "perm")
+
+  /** [[sigTable]] ordered for the oracle dump. */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    sigTable(spark, dir).orderBy("doc_id", "perm")
 
   /** LSH candidate pairs: 4 bands x 4 rows over the MinHash signature;
     * pairs sharing a band are verified by estimated similarity (fraction
@@ -120,7 +127,7 @@ object DocDedup {
   def lshPairs(spark: SparkSession, dir: String): DataFrame = {
     // uncached by design — see ngramJaccardPairs; minhash values are exact
     // integers, so every recomputation agrees
-    val sig = minhashSignatures(spark, dir)
+    val sig = sigTable(spark, dir)
     val bands2 = bandSigs(sig)
     val l = bands2.select(col("doc_id").as("a"), col("band"), col("bandsig"))
     val r = bands2.select(col("doc_id").as("b"), col("band"), col("bandsig"))
@@ -195,7 +202,7 @@ object DocDedup {
     * corpus. Equal to `lshPairs` filtered to batch-touching pairs.
     */
   def lshPairsIncrementalQuery(spark: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSignatures(spark, dir)
+    val sig = sigTable(spark, dir)
     lshPairsIncremental(
       sig.filter(col("doc_id") % 5 === 0),
       sig.filter(col("doc_id") % 5 =!= 0))

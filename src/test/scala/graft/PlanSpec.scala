@@ -36,6 +36,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("LSH pipelines carry no interior global sort (signature table is unordered)") {
+    // the ordered minhash dump exists only for its own oracle; the ops
+    // compose on the unordered sigTable — a regression reintroducing the
+    // orderBy drags a full sort+range-exchange into every LSH query
+    // (Catalyst can't eliminate a sort under order-sensitive collect_list)
+    for (q <- Seq("dedup_lsh_pairs", "dedup_incremental_pairs")) {
+      val p = plan(graft.SparkEntry.queries(q)(spark, dir))
+      val sorts = p.linesIterator.count(_.trim.startsWith("+- Sort"))
+      assert(sorts <= 1, s"$q has $sorts sorts (want only the final orderBy)")
+    }
+  }
+
   test("no persisted RDDs leak from any SparkEntry query (sweep)") {
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       fn(spark, dir).count()
