@@ -91,7 +91,17 @@ object RunCdc {
     case "state" =>
       val p = new CdcPipeline(PipelineConfig("", args(1)))
       val df =
-        if (args.length > 2)
+        if (args.length > 2 && args(2).startsWith("@")) {
+          // timestamp time travel: @<epoch-millis> or @<ISO-8601 instant>
+          val spec = args(2).drop(1)
+          val ts = try spec.toLong catch {
+            case _: NumberFormatException =>
+              java.time.Instant.parse(spec).toEpochMilli
+          }
+          val v = p.table.versionAsOf(ts)
+          println(s"as-of ts=$ts resolves to v$v")
+          p.table.read(spark, p.table.loadVersion(v))
+        } else if (args.length > 2)
           p.table.read(spark, p.table.loadVersion(args(2).toLong))
         else p.currentState(spark)
       println(s"rows=${df.count()}")

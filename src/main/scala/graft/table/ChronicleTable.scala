@@ -176,7 +176,15 @@ case class Snapshot(
       * ([[ChronicleTable.fullLineage]]) — embedding history in every
       * manifest would make manifest IO quadratic over a long replay.
       */
-    lineage: Seq[LineageEntry]) {
+    lineage: Seq[LineageEntry],
+    /** Wall-clock commit time, enforced monotone in version (a clock step
+      * backwards cannot reorder history: each commit stamps at least
+      * parent+1 ms). 0 on manifests written before the field existed —
+      * pre-upgrade versions read as committed at the epoch, so any real
+      * as-of instant resolves PAST all of them (to the newest pre-upgrade
+      * version, or onward to genuinely stamped ones).
+      */
+    commitTimeMs: Long = 0L) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   def totalRows: Long = manifestList.map(_.rows).sum
   def numFiles: Int = manifestList.map(_.numFiles).sum
@@ -311,7 +319,7 @@ class ChronicleTable(val root: String) {
     val s0 = Snapshot(version = 0L, schemaJson = schema.json,
       numBuckets = numBuckets, manifests = Nil, committedBatches = Map.empty,
       ledgerFloors = Map.empty, hwmLsn = -1L, sourceCursors = Map.empty,
-      lineage = Nil)
+      lineage = Nil, commitTimeMs = System.currentTimeMillis())
     writeSnapshotJson(s0)
     flipPointer(0L)
     s0
@@ -349,6 +357,37 @@ class ChronicleTable(val root: String) {
   }
 
   def versions: Seq[Long] = listVersions
+
+  /** Timestamp time travel: the newest RETAINED version committed at or
+    * before `tsMillis` (Iceberg/Delta's as-of-timestamp). Commit times are
+    * monotone in version (stamped at least parent+1 ms), so this is a
+    * binary search over the retained version list — O(log versions)
+    * snapshot reads, no scan of history. Fails clearly when `tsMillis`
+    * predates the oldest retained snapshot (earlier versions are expired
+    * or were never committed by then).
+    */
+  def versionAsOf(tsMillis: Long): Long = {
+    val vs = listVersions
+    require(vs.nonEmpty, s"no snapshots under $root")
+    val oldest = loadVersion(vs.head)
+    if (oldest.commitTimeMs > tsMillis)
+      throw new NoSuchElementException(
+        s"no snapshot of $root at or before ts=$tsMillis: oldest retained " +
+          s"v${oldest.version} was committed at ${oldest.commitTimeMs} " +
+          "(earlier versions expired or not yet written)")
+    var lo = 0
+    var hi = vs.length - 1
+    while (lo < hi) { // invariant: vs(lo) qualifies; answer in [lo, hi]
+      val mid = (lo + hi + 1) >>> 1
+      if (loadVersion(vs(mid)).commitTimeMs <= tsMillis) lo = mid
+      else hi = mid - 1
+    }
+    vs(lo)
+  }
+
+  /** Read the table as of a wall-clock instant — see [[versionAsOf]]. */
+  def readAsOf(spark: SparkSession, tsMillis: Long): DataFrame =
+    read(spark, loadVersion(versionAsOf(tsMillis)))
 
   private def readPointer(): Long = {
     val p = metaDir.resolve("_CURRENT")
@@ -588,7 +627,8 @@ class ChronicleTable(val root: String) {
       sourceCursors = base.cursors ++ pending.cursor.map { case (src, seg) =>
         src -> math.max(seg, base.cursors.getOrElse(src, -1L))
       },
-      lineage = Seq(pending.lineage.copy(snapshotVersion = base.version + 1)))
+      lineage = Seq(pending.lineage.copy(snapshotVersion = base.version + 1)),
+      commitTimeMs = math.max(base.commitTimeMs + 1L, System.currentTimeMillis()))
   }
 
   /** Expire all but the newest `keepLast` snapshots: their snapshot JSONs

@@ -41,6 +41,53 @@ class TableOpsSpec extends SparkSpec {
     assert(r2.compactedBuckets == 0)
   }
 
+  test("timestamp time travel: monotone commit times, as-of resolution, expiry errors") {
+    val tbl = tmpDir("table-asof")
+    val p = new CdcPipeline(PipelineConfig("", tbl, numBuckets = 2))
+    p.ensureTable()
+    (0 until 5).foreach { i =>
+      val batch = Seq((i.toLong, "I", s"conv-$i", 0, "user", s"text $i",
+        None: Option[String], new java.sql.Timestamp(0L)))
+        .toDF("lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+      MergeInto(spark, p.table, batch, s"asof#$i", "t")
+    }
+    val vs = p.table.versions
+    val times = vs.map(v => p.table.loadVersion(v).commitTimeMs)
+    assert(times == times.sorted && times.distinct == times,
+      s"commit times not strictly monotone: $times")
+
+    // exact stamps resolve to their own version; an instant strictly
+    // before the next commit resolves to the version live then
+    vs.zip(times).foreach { case (v, t) =>
+      assert(p.table.versionAsOf(t) == v)
+    }
+    assert(p.table.versionAsOf(times.last + 1000000L) == vs.last)
+    vs.zip(times).sliding(2).foreach {
+      case Seq((v, _), (_, tNext)) =>
+        assert(p.table.versionAsOf(tNext - 1) == v)
+      case _ =>
+    }
+
+    // readAsOf sees exactly the state committed by then (v = 3 commits in)
+    val tMid = times(3)
+    assert(p.table.readAsOf(spark, tMid).filter(!col("_deleted")).count() ==
+      p.table.read(spark, p.table.loadVersion(vs(3))).filter(!col("_deleted")).count())
+
+    // before table creation: a clear error naming the oldest retained
+    val early = intercept[NoSuchElementException] {
+      p.table.versionAsOf(times.head - 1)
+    }
+    assert(early.getMessage.contains("oldest retained"))
+
+    // expiry moves the as-of horizon forward with the same clear error
+    p.table.expireSnapshots(keepLast = 2)
+    val gone = intercept[NoSuchElementException] {
+      p.table.versionAsOf(times(1))
+    }
+    assert(gone.getMessage.contains("oldest retained"))
+    assert(p.table.versionAsOf(times.last) == vs.last)
+  }
+
   test("compaction range-splits big buckets into size-bounded files with disjoint key ranges") {
     val cfg = BinlogConfig(numEvents = 3000, numConversations = 30,
       segmentSize = 750, dupPct = 5)
