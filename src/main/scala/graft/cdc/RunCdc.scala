@@ -125,9 +125,22 @@ object RunCdc {
     // the reference's SuroSink chaining, SuroSink.java:15-38)
     case "changes" =>
       val table = new graft.table.ChronicleTable(args(1))
-      val df = table.readChanges(spark, args(2).toLong)
-      println(s"rows=${df.count()} since v${args(2)} " +
-        s"(hwm ${table.loadVersion(args(2).toLong).hwmLsn} -> " +
+      // `@<epoch-millis|ISO-instant>` = changes since the snapshot live
+      // at that instant (timestamp cursor, as `state @…`)
+      val since =
+        if (args(2).startsWith("@")) {
+          val spec = args(2).drop(1)
+          val ts = try spec.toLong catch {
+            case _: NumberFormatException =>
+              java.time.Instant.parse(spec).toEpochMilli
+          }
+          val v = table.versionAsOf(ts)
+          println(s"as-of ts=$ts resolves to v$v")
+          v
+        } else args(2).toLong
+      val df = table.readChanges(spark, since)
+      println(s"rows=${df.count()} since v$since " +
+        s"(hwm ${table.loadVersion(since).hwmLsn} -> " +
         s"${table.loadCurrent().hwmLsn})")
       df.orderBy("conv_id", "turn_idx").show(20, truncate = false)
 

@@ -34,8 +34,10 @@ import scala.jdk.CollectionConverters._
   *  - `startingVersion`: `"latest"` (default — tail only commits made
   *    after the stream starts), `"bootstrap"` (first batch = the full
   *    visible state, then tail; how [[graft.cdc.Chain.followStream]]
-  *    initializes a downstream replica), or a retained version number
-  *    (resume a cursor handed over from batch [[ChronicleTable.readChanges]]).
+  *    initializes a downstream replica), a retained version number
+  *    (resume a cursor handed over from batch [[ChronicleTable.readChanges]]),
+  *    or `"@<epoch-millis|ISO-instant>"` — start from the snapshot live
+  *    at that instant ([[ChronicleTable.versionAsOf]]).
   *  - `maxVersionsPerTrigger`: bound how many upstream COMMITS one
   *    micro-batch may cover (admission control — the reference's
   *    pause-aware batch draining, QueuedSink.java:96-153). Default
@@ -212,11 +214,25 @@ private[changes] class ChangesMicroBatchStream(schema0: StructType,
     options.getOrDefault("startingVersion", "latest") match {
       case "latest" => VersionOffset(cur.version)
       case "bootstrap" => VersionOffset(-1L)
+      case at if at.startsWith("@") =>
+        // timestamp cursor: the snapshot live at that instant (fails
+        // clearly when the instant predates the oldest retained version)
+        val spec = at.drop(1)
+        val ts = try spec.toLong catch {
+          case _: NumberFormatException =>
+            try java.time.Instant.parse(spec).toEpochMilli catch {
+              case _: java.time.format.DateTimeParseException =>
+                throw new IllegalArgumentException(
+                  s"startingVersion '@…' takes epoch millis or an ISO-8601 " +
+                    s"instant, got '$at'")
+            }
+        }
+        VersionOffset(table.versionAsOf(ts))
       case v =>
         val ver = try v.toLong catch {
           case _: NumberFormatException => throw new IllegalArgumentException(
-            s"startingVersion must be 'latest', 'bootstrap' or a version " +
-              s"number, got '$v'")
+            s"startingVersion must be 'latest', 'bootstrap', '@<instant>' " +
+              s"or a version number, got '$v'")
         }
         table.loadVersion(ver) // fails clearly when expired
         VersionOffset(ver)

@@ -334,6 +334,36 @@ class ChangeStreamSpec extends SparkSpec {
     assert(visible(down) == oracle)
   }
 
+  test("timestamp cursor: startingVersion @instant resolves to the snapshot live then") {
+    val cfg = BinlogConfig(numEvents = 600, numConversations = 5,
+      segmentSize = 150, dupPct = 0, pDelete = 0.0)
+    val src = tmpDir("cs-ts-bl")
+    BinlogGenerator.writeSegments(spark, cfg, src)
+    val p = new CdcPipeline(PipelineConfig(src, tmpDir("cs-ts-up"),
+      segmentsPerBatch = 1, numBuckets = 4))
+    p.runAll(spark, maxBatches = 2)
+    val vThen = p.table.loadCurrent().version
+    val tsThen = p.table.loadVersion(vThen).commitTimeMs
+    p.runAll(spark) // history moves on
+
+    // epoch-millis and ISO forms both resolve to the version live at ts
+    assert(stream(p.table.root, Map("startingVersion" -> s"@$tsThen"))
+      .initialOffset() == VersionOffset(vThen))
+    val iso = java.time.Instant.ofEpochMilli(tsThen).toString
+    assert(stream(p.table.root, Map("startingVersion" -> s"@$iso"))
+      .initialOffset() == VersionOffset(vThen))
+
+    // malformed instant and a pre-creation instant fail clearly
+    val bad = intercept[IllegalArgumentException] {
+      stream(p.table.root, Map("startingVersion" -> "@yesterday"))
+        .initialOffset()
+    }
+    assert(bad.getMessage.contains("ISO-8601"))
+    intercept[NoSuchElementException] {
+      stream(p.table.root, Map("startingVersion" -> "@1000")).initialOffset()
+    }
+  }
+
   test("guards: feed-mode exclusivity, unordered upstreams, expired cursors, schema drift") {
     import graft.ops.MergeInto
     import graft.table.{LineageEntry, PendingCommit}
