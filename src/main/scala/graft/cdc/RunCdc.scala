@@ -120,6 +120,24 @@ object RunCdc {
       val p = new CdcPipeline(PipelineConfig("", args(1)))
       p.lineage(spark).show(100, truncate = false)
 
+    // export <tableRoot> <outDir> [version|@instant]: hand the visible
+    // state (no tombstones, no system columns) to a training job or an
+    // external warehouse as plain sorted parquet
+    case "export" =>
+      val table = new graft.table.ChronicleTable(args(1))
+      val snap =
+        if (args.length > 3 && args(3).startsWith("@")) {
+          val spec = args(3).drop(1)
+          val ts = try spec.toLong catch {
+            case _: NumberFormatException =>
+              java.time.Instant.parse(spec).toEpochMilli
+          }
+          table.loadVersion(table.versionAsOf(ts))
+        } else if (args.length > 3) table.loadVersion(args(3).toLong)
+        else table.loadCurrent()
+      val n = table.exportSnapshot(spark, args(2), snap)
+      println(s"exported $n rows of v${snap.version} to ${args(2)}")
+
     // changes <tableRoot> <sinceVersion>: incremental changelog read — the
     // net row changes since a retained snapshot (downstream-stage tailing;
     // the reference's SuroSink chaining, SuroSink.java:15-38)

@@ -389,6 +389,24 @@ class ChronicleTable(val root: String) {
   def readAsOf(spark: SparkSession, tsMillis: Long): DataFrame =
     read(spark, loadVersion(versionAsOf(tsMillis)))
 
+  /** Export a snapshot's VISIBLE state as plain parquet for handoff
+    * (training jobs, external warehouses): tombstoned rows dropped,
+    * system columns (`_lsn`, `_deleted`, `_source`) stripped, rows
+    * sorted by key within partitions. SHUFFLE-FREE: the read is already
+    * partitioned by the table's files, so export cost is one scan + one
+    * write at any table size. Returns the exported row count.
+    */
+  def exportSnapshot(spark: SparkSession, outDir: String,
+      snapshot: Snapshot): Long = {
+    import graft.model.Model
+    val visible = read(spark, snapshot)
+      .filter(!org.apache.spark.sql.functions.col(Model.deletedColumn))
+      .drop(Model.systemColumns: _*)
+      .sortWithinPartitions("conv_id", "turn_idx")
+    visible.write.mode("overwrite").parquet(outDir)
+    spark.read.parquet(outDir).count()
+  }
+
   private def readPointer(): Long = {
     val p = metaDir.resolve("_CURRENT")
     if (!Files.exists(p)) -1L

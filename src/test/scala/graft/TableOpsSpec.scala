@@ -88,6 +88,37 @@ class TableOpsSpec extends SparkSpec {
     assert(p.table.versionAsOf(times.last) == vs.last)
   }
 
+  test("export: visible state only, system columns stripped, as-of composable") {
+    val tbl = tmpDir("table-export")
+    val p = new CdcPipeline(PipelineConfig("", tbl, numBuckets = 2))
+    p.ensureTable()
+    val b1 = Seq(
+      (1L, "I", "conv-a", 0, "user", "hello", None: Option[String],
+        new java.sql.Timestamp(0L)),
+      (2L, "I", "conv-b", 0, "user", "there", None: Option[String],
+        new java.sql.Timestamp(0L)))
+      .toDF("lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+    MergeInto(spark, p.table, b1, "exp#0", "t")
+    val vMid = p.table.loadCurrent()
+    val b2 = Seq((3L, "D", "conv-b", 0, "user", null.asInstanceOf[String],
+      None: Option[String], new java.sql.Timestamp(0L)))
+      .toDF("lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+    MergeInto(spark, p.table, b2, "exp#1", "t")
+
+    // current export: the delete is gone, no system columns, sorted keys
+    val out = tmpDir("table-export-out")
+    val n = p.table.exportSnapshot(spark, out, p.table.loadCurrent())
+    val got = spark.read.parquet(out)
+    assert(n == 1L && got.count() == 1L)
+    assert(got.columns.toSet ==
+      Set("conv_id", "turn_idx", "role", "text", "tool", "ts"))
+    assert(got.select("conv_id").as[String].collect().toSeq == Seq("conv-a"))
+
+    // as-of export sees the pre-delete world
+    val out2 = tmpDir("table-export-out2")
+    assert(p.table.exportSnapshot(spark, out2, vMid) == 2L)
+  }
+
   test("compaction range-splits big buckets into size-bounded files with disjoint key ranges") {
     val cfg = BinlogConfig(numEvents = 3000, numConversations = 30,
       segmentSize = 750, dupPct = 5)
