@@ -35,14 +35,21 @@ object Corpus {
     * property that makes held-out sets trustworthy under incremental
     * ingest (new CDC batches can be split-assigned file-by-file).
     */
-  def splitAssign(spark: SparkSession, dir: String): DataFrame = {
-    val b = hexBucket(col("doc_id"))
-    docs(spark, dir).select(
-      col("doc_id"),
-      b.as("split_bucket"),
-      when(b < "e6", "train").when(b < "f3", "val").otherwise("test")
-        .as("split"))
-      .orderBy("doc_id")
+  def splitAssign(spark: SparkSession, dir: String): DataFrame =
+    splitAssignOver(docs(spark, dir), "doc_id")
+      .select("doc_id", "split_bucket", "split").orderBy("doc_id")
+
+  /** [[splitAssign]] over any keyed frame: adds `split_bucket`/`split`
+    * columns derived from the KEY alone. Used conversation-level on the
+    * engine's own exported transcripts — a conversation's split never
+    * changes as later batches extend it, because the assignment reads
+    * nothing but the key.
+    */
+  def splitAssignOver(df: DataFrame, keyCol: String): DataFrame = {
+    val b = hexBucket(col(keyCol))
+    df.withColumn("split_bucket", b)
+      .withColumn("split",
+        when(b < "e6", "train").when(b < "f3", "val").otherwise("test"))
   }
 
   /** Tokens per context window. */

@@ -93,6 +93,41 @@ class CorpusSpec extends SparkSpec {
     assert(s2.exists(_._2 >= 2000L))
   }
 
+  test("end-to-end: CDC replay -> export -> conversation split stays stable under ingest") {
+    import graft.cdc.{CdcPipeline, PipelineConfig}
+    import graft.source.{BinlogConfig, BinlogGenerator}
+    // the full handoff story: the engine ingests transcripts, a training
+    // job takes a clean export and assigns conversation-level splits —
+    // which must NEVER move as later batches extend the corpus, or the
+    // held-out set leaks into training
+    val cfg = BinlogConfig(numEvents = 1200, numConversations = 30,
+      segmentSize = 200, dupPct = 5, pDelete = 0.0)
+    val src = tmpDir("corpus-e2e-bl")
+    BinlogGenerator.writeSegments(spark, cfg, src)
+    val p = new CdcPipeline(PipelineConfig(src, tmpDir("corpus-e2e-tbl"),
+      segmentsPerBatch = 2, numBuckets = 4))
+
+    def exportedSplits(): Map[String, String] = {
+      val out = tmpDir("corpus-e2e-exp")
+      p.table.exportSnapshot(spark, out, p.table.loadCurrent())
+      Corpus.splitAssignOver(
+          spark.read.parquet(out).select("conv_id").distinct(), "conv_id")
+        .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    }
+
+    p.runAll(spark, maxBatches = 2)
+    val early = exportedSplits()
+    assert(early.nonEmpty)
+
+    p.runAll(spark) // the corpus grows; early conversations gain turns
+    val late = exportedSplits()
+    assert(late.size >= early.size)
+    assert(early.forall { case (conv, s) => late(conv) == s },
+      "a conversation's split moved as the corpus grew")
+    // the assignment actually stratifies (not everything one split)
+    assert(late.values.toSet.size >= 2, late.values.toSet.toString)
+  }
+
   test("decontaminate: verbatim eval copies flagged, brushing overlap is not") {
     val d = tmpDir("corpus-decon")
     val evalText = "the quick brown fox jumps over the lazy dog " +
