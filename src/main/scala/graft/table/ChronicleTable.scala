@@ -399,12 +399,21 @@ class ChronicleTable(val root: String) {
   def exportSnapshot(spark: SparkSession, outDir: String,
       snapshot: Snapshot): Long = {
     import graft.model.Model
-    val visible = read(spark, snapshot)
-      .filter(!org.apache.spark.sql.functions.col(Model.deletedColumn))
+    import org.apache.spark.sql.functions.{col, count, lit}
+    // the row count rides the write job as an Observation — re-scanning
+    // the export to count it would double the job at any table size
+    val obs = org.apache.spark.sql.Observation()
+    read(spark, snapshot)
+      .filter(!col(Model.deletedColumn))
       .drop(Model.systemColumns: _*)
       .sortWithinPartitions("conv_id", "turn_idx")
-    visible.write.mode("overwrite").parquet(outDir)
-    spark.read.parquet(outDir).count()
+      .observe(obs, count(lit(1)).as("rows"))
+      .write.mode("overwrite").parquet(outDir)
+    // an all-deleted snapshot writes zero rows end-to-end; AQE's
+    // empty-relation propagation then drops the CollectMetrics node and
+    // the observation completes with an EMPTY row (same failure mode as
+    // the merge write metrics) — empty here simply means 0 exported
+    obs.get.get("rows").map(_.asInstanceOf[Long]).getOrElse(0L)
   }
 
   private def readPointer(): Long = {

@@ -117,6 +117,15 @@ class TableOpsSpec extends SparkSpec {
     // as-of export sees the pre-delete world
     val out2 = tmpDir("table-export-out2")
     assert(p.table.exportSnapshot(spark, out2, vMid) == 2L)
+
+    // an all-deleted snapshot exports zero rows (AQE empty-propagation
+    // drops the write's CollectMetrics — the count must not hang or crash)
+    val b3 = Seq((4L, "D", "conv-a", 0, "user", null.asInstanceOf[String],
+      None: Option[String], new java.sql.Timestamp(0L)))
+      .toDF("lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+    MergeInto(spark, p.table, b3, "exp#2", "t")
+    val out3 = tmpDir("table-export-out3")
+    assert(p.table.exportSnapshot(spark, out3, p.table.loadCurrent()) == 0L)
   }
 
   test("compaction range-splits big buckets into size-bounded files with disjoint key ranges") {
