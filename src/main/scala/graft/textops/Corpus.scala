@@ -72,15 +72,16 @@ object Corpus {
     * are the chars/4 estimate capped at the window (an over-long doc
     * occupies its own bins).
     */
-  def packSequences(spark: SparkSession, dir: String): DataFrame = {
-    val tok = least(((col("n_chars") + 3L) / 4L).cast("long"), lit(PackWindow))
+  def packSequences(spark: SparkSession, dir: String,
+      window: Long = PackWindow, shards: Long = PackShards): DataFrame = {
+    val tok = least(((col("n_chars") + 3L) / 4L).cast("long"), lit(window))
     val w = Window.partitionBy("pack_shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs(spark, dir)
-      .select(col("doc_id"), (col("doc_id") % PackShards).as("pack_shard"),
+      .select(col("doc_id"), (col("doc_id") % shards).as("pack_shard"),
         tok.as("n_tokens"))
       .withColumn("bin_id",
-        ((sum("n_tokens").over(w) - col("n_tokens")) / PackWindow).cast("long"))
+        ((sum("n_tokens").over(w) - col("n_tokens")) / window).cast("long"))
       .orderBy("doc_id")
   }
 
@@ -95,13 +96,14 @@ object Corpus {
     * (one language dominating a web corpus) sort only their own
     * partitions, and the hash sort key keeps AQE free to split them.
     */
-  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+  def sampleStratified(spark: SparkSession, dir: String,
+      k: Int = SampleK): DataFrame = {
     val w = Window.partitionBy("lang")
       .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
     docs(spark, dir)
       .select(col("lang"), col("doc_id"),
         row_number().over(w).as("sample_rank"))
-      .filter(col("sample_rank") <= SampleK)
+      .filter(col("sample_rank") <= k)
       .orderBy("lang", "sample_rank")
   }
 
