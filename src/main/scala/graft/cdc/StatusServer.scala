@@ -80,6 +80,7 @@ object StatusServer {
     base.put("deltaFiles", snap.manifestList.map(_.deltaFiles).sum)
     base.put("buckets", snap.numBuckets)
     base.put("hwmLsn", snap.hwmLsn)
+    base.put("commitTimeMs", snap.commitTimeMs)
     base.put("hwmBySource", new java.util.TreeMap[String, Long](
       scala.jdk.CollectionConverters.MapHasAsJava(snap.hwms).asJava))
     base.put("cursors", new java.util.TreeMap[String, Long](
