@@ -163,16 +163,46 @@ object Chain {
   }
 
   /** Poll until caught up (each poll sees the version the previous one
-    * left); returns polls performed.
+    * left); returns polls performed. `maintainEveryPolls > 0` runs
+    * [[maintain]] on the downstream after every Nth applying poll.
     */
   def drain(spark: SparkSession, src: ChronicleTable, dst: ChronicleTable,
       numBuckets: Int = 16, maxPolls: Int = Int.MaxValue,
-      mergeOnRead: Boolean = false): Int = {
+      mergeOnRead: Boolean = false, maintainEveryPolls: Int = 0): Int = {
     var n = 0
     while (n < maxPolls &&
-        pollOnce(spark, src, dst, numBuckets, mergeOnRead).isDefined)
+        pollOnce(spark, src, dst, numBuckets, mergeOnRead).isDefined) {
       n += 1
+      if (maintainEveryPolls > 0 && n % maintainEveryPolls == 0)
+        maintain(spark, dst, mergeOnRead)
+    }
     n
+  }
+
+  /** Downstream housekeeping for a long-lived chain — the pipeline drain
+    * runs this every N batches ([[CdcPipeline]] `maintenanceEveryBatches`),
+    * but a CHAIN-fed table has no pipeline: without it an always-on
+    * [[follow]] accumulates a snapshot per poll forever and, under
+    * merge-on-read, delta files between manual compactions. Same recipe as
+    * the pipeline's: fold deltas up to the SAFE tombstone horizon (the
+    * minimum mark across the downstream's mirrored sources; MinValue — no
+    * GC — when any is unordered/unmarked), expire old snapshots, GC aged
+    * orphans.
+    *
+    * Retention caveat for CASCADES: a further-downstream tail holds this
+    * table's VERSION as its cursor — `retainSnapshots` must cover the
+    * slowest such tail or its next poll fails with the expired-cursor
+    * error (the same contract as log retention vs. consumer lag).
+    */
+  def maintain(spark: SparkSession, dst: ChronicleTable,
+      mergeOnRead: Boolean = false, maxFilesPerBucket: Int = 8,
+      retainSnapshots: Int = 10): Unit = {
+    val horizon =
+      if (mergeOnRead) dst.loadCurrent().tombstoneHorizon else Long.MinValue
+    graft.ops.Compaction(spark, dst, maxFilesPerBucket,
+      tombstoneHorizonLsn = horizon)
+    dst.expireSnapshots(retainSnapshots)
+    dst.gcOrphans()
   }
 
   /** Payload (non-system) column names of a chained schema. */
@@ -208,14 +238,18 @@ object Chain {
     */
   def follow(spark: SparkSession, src: ChronicleTable, dst: ChronicleTable,
       numBuckets: Int = 16, intervalMs: Long = 1000L,
-      mergeOnRead: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
+      mergeOnRead: Boolean = false,
+      maintainEveryTriggers: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
     spark.readStream.format("rate").option("rowsPerSecond", 1).load()
       .writeStream
       .queryName(s"graft-chain-${dst.root.hashCode.toHexString}")
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(intervalMs))
       .option("checkpointLocation", s"${dst.root}/_follow_checkpoint")
-      .foreachBatch { (_: DataFrame, _: Long) =>
+      .foreachBatch { (_: DataFrame, batchId: Long) =>
         drain(spark, src, dst, numBuckets, mergeOnRead = mergeOnRead): Unit
+        if (maintainEveryTriggers > 0 && batchId > 0 &&
+            batchId % maintainEveryTriggers == 0)
+          maintain(spark, dst, mergeOnRead)
       }
       .start()
 

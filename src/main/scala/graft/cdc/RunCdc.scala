@@ -264,7 +264,9 @@ object RunCdc {
       val dst = new graft.table.ChronicleTable(args(2))
       val nb = if (args.length > 3) args(3).toInt else 16
       val polls = Chain.drain(spark, src, dst, nb,
-        mergeOnRead = sys.env.get("GRAFT_MOR").contains("1"))
+        mergeOnRead = sys.env.get("GRAFT_MOR").contains("1"),
+        maintainEveryPolls =
+          sys.env.getOrElse("GRAFT_CHAIN_MAINTAIN", "0").toInt)
       val snap = dst.loadCurrent()
       println(s"chained $polls polls; downstream v${snap.version} " +
         s"rows=${snap.totalRows} cursor=${snap.cursors(Chain.cursorKey(args(1)))}")
@@ -280,7 +282,9 @@ object RunCdc {
       val nb = if (args.length > 3) args(3).toInt else 16
       val interval = if (args.length > 4) args(4).toLong else 1000L
       val q = Chain.follow(spark, src, dst, nb, interval,
-        mergeOnRead = sys.env.get("GRAFT_MOR").contains("1"))
+        mergeOnRead = sys.env.get("GRAFT_MOR").contains("1"),
+        maintainEveryTriggers =
+          sys.env.getOrElse("GRAFT_CHAIN_MAINTAIN", "0").toInt)
       println(s"following ${args(1)} -> ${args(2)} every ${interval}ms " +
         s"(query ${q.name}); Ctrl-C to stop")
       q.awaitTermination()

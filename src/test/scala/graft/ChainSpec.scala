@@ -238,6 +238,42 @@ class ChainSpec extends SparkSpec {
     assert(dup == 0L)
   }
 
+  test("chain maintenance: an always-on tail's downstream folds deltas and bounds snapshots") {
+    // a chain-fed table has no pipeline to run maybeMaintain — without
+    // Chain.maintain, a long-lived follow leaks a snapshot per poll and
+    // (under MOR) delta files between manual compactions
+    val cfg = BinlogConfig(numEvents = 1500, numConversations = 10,
+      segmentSize = 150, dupPct = 5, pDelete = 0.2)
+    val src = tmpDir("chain-mt-bl")
+    BinlogGenerator.writeSegments(spark, cfg, src)
+    val p = new CdcPipeline(PipelineConfig(src, tmpDir("chain-mt-up"),
+      segmentsPerBatch = 1, numBuckets = 4, mergeOnRead = true))
+    val down = new graft.table.ChronicleTable(tmpDir("chain-mt-down"))
+
+    // tail the upstream one commit at a time, maintaining every poll
+    var polls = 0
+    while ({ p.runAll(spark, maxBatches = 1) > 0 }) {
+      polls += Chain.drain(spark, p.table, down, numBuckets = 4,
+        mergeOnRead = true, maintainEveryPolls = 1)
+    }
+    assert(polls >= 5)
+
+    // converged, deltas folded, snapshot count bounded by retention
+    assert(visible(down) == visible(p.table))
+    val snap = down.loadCurrent()
+    assert(snap.manifestList.map(_.deltaFiles).sum == 0,
+      "maintenance must fold the downstream's MOR deltas")
+    assert(down.versions.size <= 11,
+      s"retention must bound snapshots, have ${down.versions.size}")
+    val oracle = BinlogGenerator.referenceReduction(cfg)
+      .values.map(e => (e.conv_id, e.turn_idx, e.text)).toSet
+    assert(visible(down) == oracle)
+
+    // the chain cursor survives maintenance: a fresh poll is a clean no-op
+    assert(Chain.pollOnce(spark, p.table, down, numBuckets = 4,
+      mergeOnRead = true).isEmpty)
+  }
+
   test("an expired upstream cursor errors clearly instead of shipping a wrong delta") {
     val cfg = BinlogConfig(numEvents = 600, numConversations = 5,
       segmentSize = 200, dupPct = 0, pDelete = 0.0)
