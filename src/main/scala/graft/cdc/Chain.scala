@@ -275,7 +275,8 @@ object Chain {
       dst: ChronicleTable, numBuckets: Int = 16, intervalMs: Long = 1000L,
       mergeOnRead: Boolean = false,
       maxVersionsPerTrigger: Long = Long.MaxValue,
-      trigger: org.apache.spark.sql.streaming.Trigger = null): org.apache.spark.sql.streaming.StreamingQuery = {
+      trigger: org.apache.spark.sql.streaming.Trigger = null,
+      maintainEveryTriggers: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
     val trig = Option(trigger).getOrElse(
       org.apache.spark.sql.streaming.Trigger.ProcessingTime(intervalMs))
     val cur = src.loadCurrent()
@@ -304,6 +305,11 @@ object Chain {
       .option("checkpointLocation", s"${dst.root}/_followstream_checkpoint")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         shipStreamBatch(dst, batch, batchId, markerKey, mergeOnRead): Unit
+        // same housekeeping as [[follow]]'s — batch ids are contiguous
+        // across restarts, so the cadence survives a resume
+        if (maintainEveryTriggers > 0 && batchId > 0 &&
+            batchId % maintainEveryTriggers == 0)
+          maintain(batch.sparkSession, dst, mergeOnRead)
       }
       .start()
   }
@@ -316,9 +322,10 @@ object Chain {
     */
   def syncStream(spark: SparkSession, src: ChronicleTable,
       dst: ChronicleTable, numBuckets: Int = 16,
-      mergeOnRead: Boolean = false): Unit =
+      mergeOnRead: Boolean = false, maintainEveryTriggers: Int = 0): Unit =
     followStream(spark, src, dst, numBuckets, mergeOnRead = mergeOnRead,
-      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      maintainEveryTriggers = maintainEveryTriggers)
       .awaitTermination()
 
   /** Apply one change-stream micro-batch downstream, exactly-once: one

@@ -133,8 +133,13 @@ class ChangeStreamSpec extends SparkSpec {
     Chain.syncStream(spark, p.table, down, numBuckets = 4, mergeOnRead = true)
     assert(visible(down) == visible(p.table))
     p.runAll(spark) // the rest, including deletes of keys shipped in sync 1
-    Chain.syncStream(spark, p.table, down, numBuckets = 4, mergeOnRead = true)
+    // per-trigger maintenance rides the stream chain too: the downstream's
+    // MOR deltas fold as the tail progresses instead of accumulating
+    Chain.syncStream(spark, p.table, down, numBuckets = 4, mergeOnRead = true,
+      maintainEveryTriggers = 1)
     assert(visible(down) == visible(p.table))
+    assert(down.loadCurrent().manifestList.map(_.deltaFiles).sum == 0,
+      "stream-chain maintenance must fold the downstream's deltas")
     val oracle = BinlogGenerator.referenceReduction(cfg)
       .values.map(e => (e.conv_id, e.turn_idx, e.text)).toSet
     assert(visible(down) == oracle)
