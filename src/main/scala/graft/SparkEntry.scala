@@ -96,7 +96,8 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => TextOps.fingerprint(s, d)),
     // ------------------------------------------------- corpus construction
     "corpus_split" -> ((s, d) => Corpus.splitAssign(s, d)),
-    "corpus_pack" -> ((s, d) => Corpus.packSequences(s, d)),
+    // shards pinned: the oracle's shard assignment is part of the answer
+    "corpus_pack" -> ((s, d) => Corpus.packSequences(s, d, shards = 16L)),
     "corpus_sample_stratified" -> ((s, d) => Corpus.sampleStratified(s, d)),
     "corpus_mixture" -> ((s, d) => Corpus.mixture(s, d)),
     "corpus_decontaminate" -> ((s, d) => Corpus.decontaminate(s, d)),
@@ -396,7 +397,8 @@ object SparkEntry {
     "corpus_mixture" ->
       """WITH rates AS (
         |  SELECT source,
-        |    CASE WHEN regexp_extract(source, '([0-9]+)$', 1)::INT % 2 = 0
+        |    CASE WHEN regexp_extract(source, '([0-9]+)$', 1) = '' THEN 100
+        |         WHEN regexp_extract(source, '([0-9]+)$', 1)::INT % 2 = 0
         |         THEN 100 ELSE 25 END AS weight_pct
         |  FROM (SELECT DISTINCT source FROM documents)),
         |k AS (

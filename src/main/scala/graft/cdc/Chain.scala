@@ -54,6 +54,25 @@ object Chain {
   /** The downstream cursor key for an upstream root. */
   def cursorKey(srcRoot: String): String = s"$cursorPrefix$srcRoot"
 
+  /** Record one metrics-ledger line per applied poll/stream batch on the
+    * DOWNSTREAM table (`<dst>/metrics`, the same ledger the pipeline
+    * writes), so `/stats` on a chain-fed table serves live per-mode rates
+    * — without this the status surface showed ledger state but no rates
+    * for chained drains. One driver-side JSONL append per poll; set false
+    * to silence (benchmarks isolating IO).
+    */
+  @volatile var recordMetrics: Boolean = true
+
+  private def recordMetric(dst: ChronicleTable, srcRoot: String,
+      epoch: Long, merges: Seq[MergeResult], sec: Double,
+      mode: String): Unit =
+    if (recordMetrics) {
+      val up = merges.map(_.upserts).sum
+      val del = merges.map(_.deletes).sum
+      Metrics.append(s"${dst.root}/metrics", MetricEvent(srcRoot, epoch,
+        System.currentTimeMillis(), up + del, sec, up, del, mode))
+    }
+
   private def isChainCursor(k: String): Boolean =
     k.startsWith(cursorPrefix) || k.startsWith(streamCursorPrefix)
 
@@ -83,6 +102,17 @@ object Chain {
       sources: Seq[String],
       merges: Seq[MergeResult])
 
+  /** Default bootstrap slice size (bytes of upstream data per slice).
+    * The first poll of a fresh downstream ships the upstream's FULL
+    * visible state; at 100 TB one merge carrying the whole table would
+    * exhaust shuffle/disk long before the incremental regime begins, so
+    * the bootstrap is CHUNKED into ceil(bytes / this) exactly-once
+    * lsn-interval slices (see [[pollOnce]]). Larger = fewer commits,
+    * bigger per-slice merges; the default trades ~6k slices for a 100 TB
+    * table against merge batches a large cluster digests comfortably.
+    */
+  val DefaultBootstrapSliceBytes: Long = 16L << 30
+
   /** Ship all changes committed upstream since the last poll. None = the
     * downstream table is already caught up.
     *
@@ -91,10 +121,41 @@ object Chain {
     * itself be chained further WITH delete propagation — a copy-on-write
     * downstream erases deletes physically and tails on as upsert-only,
     * exactly like a CoW upstream.
+    *
+    * BOOTSTRAP (first poll) is CHUNKED: the upstream's visible state is
+    * sliced into K disjoint `_lsn` intervals (K = ceil(manifest bytes /
+    * `bootstrapSliceBytes`), capped at upstream version+1 so slice keys
+    * can tile version units), each slice shipped as its own exactly-once
+    * unit — per source, a slice's ledger key claims a version-unit
+    * subrange, so the floor folds them like ordinary polls and a crash
+    * between slices resumes at the next one (already-committed slices
+    * skip by key; re-read rows at-or-below a source's advanced mark drop
+    * in the HWM filter). Slices ship in INCREASING lsn order, which is
+    * what keeps the per-source high-water marks sound mid-bootstrap:
+    * every later slice's rows strictly exceed the marks the earlier
+    * slices advanced. Slice scans prune at the manifest by lsn bounds
+    * (O(files-in-interval) IO each) and ship RAW changelog rows
+    * (superseded MOR versions and retained tombstones included) — the
+    * downstream merge LWWs them per key exactly as it does for live
+    * polls. An upstream whose manifests carry no lsn stats (pre-upgrade)
+    * has no slicing axis and falls back to a single-batch bootstrap.
     */
   def pollOnce(spark: SparkSession, src: ChronicleTable,
       dst: ChronicleTable, numBuckets: Int = 16,
-      mergeOnRead: Boolean = false): Option[ChainResult] = {
+      mergeOnRead: Boolean = false,
+      bootstrapSliceBytes: Long = DefaultBootstrapSliceBytes,
+      /** Row-level DERIVATION applied to every shipped change set before
+        * the downstream merge — the chain's map hook. The function must
+        * PRESERVE the system columns (`_lsn`, `_deleted`, `_source`: each
+        * output row keeps the lsn/source of the input row that derived it,
+        * and derives tombstones from tombstones) so exactly-once, ledger
+        * tiling and per-source marks work untouched; the payload columns
+        * may change entirely (the downstream table's schema evolves to
+        * them). This is how a MAINTAINED DERIVED TABLE rides the chain —
+        * e.g. [[graft.dedup.SignatureIndex]] keeps a MinHash/LSH index in
+        * lockstep with a document table's changelog.
+        */
+      transform: DataFrame => DataFrame = identity): Option[ChainResult] = {
     val cur = src.loadCurrent()
     // fail BEFORE the bootstrap, not on poll 2: an unordered upstream can
     // never be tailed (readChanges would refuse), so shipping its full
@@ -118,48 +179,99 @@ object Chain {
     val key = cursorKey(src.root)
     val lastV = dstCursors.getOrElse(key, -1L)
     if (lastV >= cur.version) return None
+    val t0 = System.nanoTime()
+    var known = knownPrefixes(dst.loadCurrent())
+    var shipped = Set.empty[String]
 
-    // first poll bootstraps from the full visible state (tombstones too,
-    // where retained); later polls read the pruned changelog
-    val changes =
-      (if (lastV < 0) src.read(spark, cur)
-       else src.readChanges(spark, lastV))
+    // Ship one change set as one merge per ORIGINAL source, in
+    // deterministic order, so the downstream marks stay per-source; rows
+    // written before the _source column existed (null) ship under a
+    // dedicated legacy prefix. A KNOWN source with NO rows in this set
+    // still gets a (metadata-only) empty commit: every prefix's range
+    // keys then tile contiguously across polls/slices and the ledger
+    // floor folds them away — without this, one quiet poll would leave a
+    // permanent gap and the explicit window would grow by one key per
+    // prefix per later poll. A prefix's FIRST range anchors at version
+    // unit 0 (nothing was ever shipped for it before, so the wider claim
+    // is vacuous) — a source joining mid-stream then tiles from 0 and
+    // its floor folds immediately instead of leaving a permanent
+    // pre-join gap.
+    def shipRange(changes0: DataFrame, unitLo: Long, unitHi: Long,
+        last: Boolean, what: String): Seq[MergeResult] = {
+      val changes = transform(changes0)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val payload = payloadOf(cur.schema)
+      try {
+        val payload = payloadOf(changes.schema)
+        val srcCol = col(Model.sourceColumn)
+        val tagged = changes.select(coalesce(srcCol, lit("_legacy")).as("__src"))
+          .distinct().collect().map(_.getString(0)).toSet
+        val prefixes = (tagged ++ known).toSeq.sorted match {
+          case Nil => Seq("_chain") // empty set on a fresh table: cursor-only
+          case ps => ps
+        }
+        val ms = prefixes.zipWithIndex.map { case (s, i) =>
+          val rows = changes.filter(coalesce(srcCol, lit("_legacy")) === s)
+          val lo = if (known.contains(s)) unitLo else 0L
+          MergeInto(spark, dst, asEvents(rows, payload),
+            batchKey = s"$s#$lo-$unitHi",
+            source = what,
+            cursor = if (last && i == prefixes.size - 1)
+                       Some(key -> cur.version)
+                     else None,
+            mergeOnRead = mergeOnRead)
+        }
+        known ++= prefixes.filterNot(_ == "_chain")
+        shipped ++= prefixes
+        ms
+      } finally { changes.unpersist(); () }
+    }
 
-      // one merge per ORIGINAL source, in deterministic order, so the
-      // downstream marks stay per-source; rows written before the _source
-      // column existed (null) ship under a dedicated legacy prefix. A
-      // source with NO rows in this delta still gets a (metadata-only)
-      // empty commit: every prefix's range keys then tile contiguously
-      // across polls and the ledger floor folds them away — without this,
-      // one quiet poll would leave a permanent gap and the explicit
-      // window would grow by one key per prefix per later poll.
-      val srcCol = col(Model.sourceColumn)
-      val tagged = changes.select(coalesce(srcCol, lit("_legacy")).as("__src"))
-        .distinct().collect().map(_.getString(0)).toSet
-      val known = knownPrefixes(dst.loadCurrent())
-      val prefixes = (tagged ++ known).toSeq.sorted match {
-        case Nil => Seq("_chain") // empty first poll: cursor-only commit
-        case ps => ps
+    val merges: Seq[MergeResult] =
+      if (lastV >= 0)
+        // incremental poll: the pruned changelog, one version-unit range
+        shipRange(src.readChanges(spark, lastV), lastV + 1, cur.version,
+          last = true, s"chain ${src.root} v$lastV->v${cur.version}")
+      else {
+        val k = bootstrapSliceCount(src, cur, bootstrapSliceBytes)
+        if (k <= 1)
+          // small (or lsn-statless) upstream: one-batch bootstrap of the
+          // COLLAPSED visible state, as before
+          shipRange(src.read(spark, cur), 0L, cur.version, last = true,
+            s"chain ${src.root} bootstrap v${cur.version}")
+        else {
+          val (gMin, gMax) = src.lsnBounds(cur)
+          val units = BigInt(cur.version) + 1
+          (0 until k).flatMap { i =>
+            val (lsnLo, lsnHi) = ChronicleTable.lsnSliceInterval(gMin, gMax, i, k)
+            val unitLo = (units * i / k).toLong
+            val unitHi = (units * (i + 1) / k).toLong - 1
+            shipRange(src.scanLsnInterval(spark, cur, lsnLo, lsnHi),
+              unitLo, unitHi, last = i == k - 1,
+              s"chain ${src.root} bootstrap v${cur.version} " +
+                s"slice ${i + 1}/$k")
+          }
+        }
       }
-      val merges = prefixes.zipWithIndex.map { case (s, i) =>
-        val rows = changes.filter(coalesce(srcCol, lit("_legacy")) === s)
-        val last = i == prefixes.size - 1
-        // a prefix's FIRST range anchors at version 0 (nothing was ever
-        // shipped for it before, so the wider claim is vacuous) — a source
-        // joining mid-stream then tiles from 0 and its floor folds
-        // immediately instead of leaving a permanent pre-join gap
-        val lo = if (known.contains(s)) lastV + 1 else 0L
-        MergeInto(spark, dst, asEvents(rows, payload),
-          batchKey = s"$s#$lo-${cur.version}",
-          source = s"chain ${src.root} v$lastV->v${cur.version}",
-          cursor = if (last) Some(key -> cur.version) else None,
-          mergeOnRead = mergeOnRead)
-      }
-      Some(ChainResult(lastV, cur.version, prefixes, merges))
-    } finally changes.unpersist()
+    recordMetric(dst, src.root, cur.version, merges,
+      (System.nanoTime() - t0) / 1e9, "chain-poll")
+    Some(ChainResult(lastV, cur.version, shipped.toSeq.sorted, merges))
+  }
+
+  /** Bootstrap slice count for an upstream snapshot: bytes-driven, capped
+    * by version-unit tiling (at most version+1 slice keys can tile the
+    * unit space) and by the lsn width (more slices than distinct lsns is
+    * pointless); 1 when the manifests carry no lsn bounds (no slicing
+    * axis — pre-upgrade tables).
+    */
+  private def bootstrapSliceCount(src: ChronicleTable,
+      cur: graft.table.Snapshot, sliceBytes: Long): Int = {
+    if (sliceBytes <= 0L) return 1
+    val (gMin, gMax) = src.lsnBounds(cur)
+    if (gMin < 0L || gMax <= gMin) return 1
+    val bytes = src.filesOf(cur).map(_.bytes.max(0L)).sum
+    val wanted = 1L + (bytes - 1L).max(0L) / sliceBytes
+    math.min(math.min(wanted, cur.version + 1),
+      math.min(gMax - gMin + 1, Int.MaxValue.toLong)).toInt.max(1)
   }
 
   /** Poll until caught up (each poll sees the version the previous one
@@ -168,10 +280,13 @@ object Chain {
     */
   def drain(spark: SparkSession, src: ChronicleTable, dst: ChronicleTable,
       numBuckets: Int = 16, maxPolls: Int = Int.MaxValue,
-      mergeOnRead: Boolean = false, maintainEveryPolls: Int = 0): Int = {
+      mergeOnRead: Boolean = false, maintainEveryPolls: Int = 0,
+      bootstrapSliceBytes: Long = DefaultBootstrapSliceBytes,
+      transform: DataFrame => DataFrame = identity): Int = {
     var n = 0
     while (n < maxPolls &&
-        pollOnce(spark, src, dst, numBuckets, mergeOnRead).isDefined) {
+        pollOnce(spark, src, dst, numBuckets, mergeOnRead,
+          bootstrapSliceBytes, transform).isDefined) {
       n += 1
       if (maintainEveryPolls > 0 && n % maintainEveryPolls == 0)
         maintain(spark, dst, mergeOnRead)
@@ -264,8 +379,11 @@ object Chain {
     * batch contents are replay-stable by OFFSET (a restarted batch N
     * re-reads the same version range and its ledger keys `<src>#N` skip),
     * and the pipeline composes with stream-native rate limiting
-    * (`maxVersionsPerTrigger`) and monitoring. The first batch bootstraps
-    * the full upstream state, like [[pollOnce]]'s first poll.
+    * (`maxVersionsPerTrigger`) and monitoring. The bootstrap ships the
+    * upstream state CHUNKED into `bootstrapSliceBytes`-sized lsn-interval
+    * micro-batches (never one table-sized batch), like [[pollOnce]]'s
+    * sliced first poll; the slice plan rides the offset WAL, so a crash
+    * mid-bootstrap resumes at the next slice.
     *
     * A stream-chained table is its own feed mode: [[pollOnce]] refuses
     * stream-chain-fed tables and vice versa (batch-id keys and
@@ -276,7 +394,9 @@ object Chain {
       mergeOnRead: Boolean = false,
       maxVersionsPerTrigger: Long = Long.MaxValue,
       trigger: org.apache.spark.sql.streaming.Trigger = null,
-      maintainEveryTriggers: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+      maintainEveryTriggers: Int = 0,
+      bootstrapSliceBytes: Long = DefaultBootstrapSliceBytes,
+      bootstrapSlices: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
     val trig = Option(trigger).getOrElse(
       org.apache.spark.sql.streaming.Trigger.ProcessingTime(intervalMs))
     val cur = src.loadCurrent()
@@ -298,13 +418,18 @@ object Chain {
         "ledger keys — see Chain.requireNotChainFed")
     val markerKey = s"$streamCursorPrefix${src.root}"
     src.readChangeStream(spark, startingVersion = "bootstrap",
-        maxVersionsPerTrigger = maxVersionsPerTrigger)
+        maxVersionsPerTrigger = maxVersionsPerTrigger,
+        bootstrapSliceBytes = bootstrapSliceBytes,
+        bootstrapSlices = bootstrapSlices)
       .writeStream
       .queryName(s"graft-chainstream-${dst.root.hashCode.toHexString}")
       .trigger(trig)
       .option("checkpointLocation", s"${dst.root}/_followstream_checkpoint")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        shipStreamBatch(dst, batch, batchId, markerKey, mergeOnRead): Unit
+        val t0 = System.nanoTime()
+        val ms = shipStreamBatch(dst, batch, batchId, markerKey, mergeOnRead)
+        recordMetric(dst, src.root, batchId, ms,
+          (System.nanoTime() - t0) / 1e9, "chain-stream")
         // same housekeeping as [[follow]]'s — batch ids are contiguous
         // across restarts, so the cadence survives a resume
         if (maintainEveryTriggers > 0 && batchId > 0 &&
@@ -322,10 +447,14 @@ object Chain {
     */
   def syncStream(spark: SparkSession, src: ChronicleTable,
       dst: ChronicleTable, numBuckets: Int = 16,
-      mergeOnRead: Boolean = false, maintainEveryTriggers: Int = 0): Unit =
+      mergeOnRead: Boolean = false, maintainEveryTriggers: Int = 0,
+      bootstrapSliceBytes: Long = DefaultBootstrapSliceBytes,
+      bootstrapSlices: Int = 0): Unit =
     followStream(spark, src, dst, numBuckets, mergeOnRead = mergeOnRead,
       trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
-      maintainEveryTriggers = maintainEveryTriggers)
+      maintainEveryTriggers = maintainEveryTriggers,
+      bootstrapSliceBytes = bootstrapSliceBytes,
+      bootstrapSlices = bootstrapSlices)
       .awaitTermination()
 
   /** Apply one change-stream micro-batch downstream, exactly-once: one

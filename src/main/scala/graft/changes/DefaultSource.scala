@@ -42,6 +42,15 @@ import scala.jdk.CollectionConverters._
   *    micro-batch may cover (admission control — the reference's
   *    pause-aware batch draining, QueuedSink.java:96-153). Default
   *    unbounded.
+  *  - `bootstrapSliceBytes` (default 16 GiB) / `bootstrapSlices`
+  *    (explicit count override): a `bootstrap` start is CHUNKED into
+  *    ceil(bytes / sliceBytes) disjoint `_lsn`-interval slices, one
+  *    micro-batch each, so tailing a huge table never plans one
+  *    table-sized batch. The pinned snapshot version, slice count and
+  *    lsn bounds ride in the offsets — a crash between slices restarts
+  *    at the next slice with identical intervals, exactly-once end to
+  *    end. Tables without manifest lsn stats ship as one batch (no
+  *    slicing axis).
   *  - `columns`: comma-separated data columns to carry (default all).
   *    The v2 STREAMING contract has no optimizer pushdown — unlike batch
   *    relations, `MicroBatchExecution` builds the scan once at stream
@@ -148,18 +157,39 @@ private[changes] class ChangesScan(schema0: StructType, root: String,
     new ChangesMicroBatchStream(schema0, root, options)
 }
 
-/** Stream offset = table snapshot version (the changelog cursor). */
-private[changes] case class VersionOffset(version: Long) extends Offset {
-  override def json(): String = s"""{"version":$version}"""
+/** Stream offset = table snapshot version (the changelog cursor), plus —
+  * during a CHUNKED bootstrap — the slice position and the slicing inputs
+  * (count + lsn bounds of the pinned bootstrap snapshot). The inputs ride
+  * IN the offset so a restarted query replays identical slice intervals
+  * from the WAL even after the table advanced: `slice = i` means slices
+  * 0..i of `slices` have been emitted; `slice = slices-1` hands over to
+  * the plain tail regime at `version`. A plain offset has `slices = 0`.
+  */
+private[changes] case class VersionOffset(version: Long,
+    slice: Int = -1, slices: Int = 0,
+    lsnMin: Long = -1L, lsnMax: Long = -1L) extends Offset {
+  def inBootstrap: Boolean = slices > 0
+  def bootstrapDone: Boolean = slices > 0 && slice >= slices - 1
+  override def json(): String =
+    if (!inBootstrap) s"""{"version":$version}"""
+    else s"""{"version":$version,"slice":$slice,"slices":$slices,""" +
+      s""""lsnMin":$lsnMin,"lsnMax":$lsnMax}"""
 }
 
 private[changes] object VersionOffset {
-  private val R = """\{\s*"version"\s*:\s*(-?\d+)\s*\}""".r
-  def fromJson(s: String): VersionOffset = s.trim match {
-    case R(v) => VersionOffset(v.toLong)
-    case other => throw new IllegalArgumentException(
-      s"not a graft.changes offset: $other")
-  }
+  def fromJson(s: String): VersionOffset =
+    try {
+      val n = graft.table.ChronicleTable.mapper.readTree(s)
+      require(n.has("version"))
+      VersionOffset(n.get("version").asLong(),
+        slice = if (n.has("slice")) n.get("slice").asInt() else -1,
+        slices = if (n.has("slices")) n.get("slices").asInt() else 0,
+        lsnMin = if (n.has("lsnMin")) n.get("lsnMin").asLong() else -1L,
+        lsnMax = if (n.has("lsnMax")) n.get("lsnMax").asLong() else -1L)
+    } catch {
+      case _: Exception => throw new IllegalArgumentException(
+        s"not a graft.changes offset: $s")
+    }
 }
 
 /** One pruned data file of the batch's version range, with the per-source
@@ -171,8 +201,15 @@ private[changes] case class ChangeFilePartition(
     fileSize: Long,
     marks: Map[String, Long],
     globalMark: Long,
-    /** false = bootstrap batch: every live row ships, no mark filter. */
-    filtered: Boolean) extends InputPartition
+    /** false = bootstrap batch: every row ships, no mark filter. */
+    filtered: Boolean,
+    /** Bootstrap-slice `_lsn` interval (inclusive); (MinValue, MaxValue)
+      * = unsliced. Applied only when `filtered` is false — a sliced
+      * bootstrap ships each row in exactly the one slice whose interval
+      * holds its lsn.
+      */
+    lsnLo: Long = Long.MinValue,
+    lsnHi: Long = Long.MaxValue) extends InputPartition
 
 private[changes] class ChangesMicroBatchStream(schema0: StructType,
     root: String, options: CaseInsensitiveStringMap)
@@ -188,22 +225,40 @@ private[changes] class ChangesMicroBatchStream(schema0: StructType,
     v
   }
 
+  /** Chunked-bootstrap sizing: `startingVersion=bootstrap` ships the full
+    * state as ceil(bytes / bootstrapSliceBytes) lsn-interval slices, ONE
+    * PER MICRO-BATCH, instead of planning one table-sized batch
+    * (`bootstrapSlices` overrides the count directly; a table without
+    * manifest lsn stats has no slicing axis and ships as one batch). The
+    * slice intervals are pinned in the offsets, so a crash between slices
+    * restarts exactly at the next slice from the WAL.
+    */
+  private val bootstrapSliceBytes: Long = {
+    val v = options.getLong("bootstrapSliceBytes", 16L << 30)
+    require(v > 0, s"bootstrapSliceBytes must be positive, got $v")
+    v
+  }
+  private val bootstrapSlicesOverride: Int =
+    options.getInt("bootstrapSlices", 0)
+
   /** Trigger.AvailableNow bound: set once at query start, so the run
     * drains to a fixed target and terminates even while writers commit.
     */
   @volatile private var availableNowTarget: Option[Long] = None
 
-  /** The CURRENT batch's conservative lsn floor (the minimum per-source
-    * mark), stashed by [[planInputPartitions]] for [[createReaderFactory]]
-    * to push into the parquet reader as a data filter — row groups and
-    * pages whose `_lsn` stats sit wholly at-or-below the floor are skipped
-    * inside files that survived manifest pruning (a rewritten/compacted
-    * file is mostly pre-cursor rows). Sound under the exact per-source
-    * filter on top: every row's own mark is >= the minimum, so a row the
-    * floor removes could never pass. Micro-batches execute strictly
+  /** The CURRENT batch's conservative lsn bounds (exclusive floor,
+    * inclusive ceiling), stashed by [[planInputPartitions]] for
+    * [[createReaderFactory]] to push into the parquet reader as data
+    * filters — row groups and pages whose `_lsn` stats sit wholly outside
+    * are skipped inside files that survived manifest pruning (a
+    * rewritten/compacted file is mostly pre-cursor rows). Tail batches
+    * push the minimum per-source mark as the floor (sound under the exact
+    * per-source filter on top: every row's own mark is >= the minimum, so
+    * a row the floor removes could never pass); bootstrap slices push
+    * their interval's two bounds exactly. Micro-batches execute strictly
     * sequentially (plan -> execute -> commit), so one slot suffices.
     */
-  @volatile private var batchLsnFloor: Option[Long] = None
+  @volatile private var batchLsnRange: (Option[Long], Option[Long]) = (None, None)
 
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(table.loadCurrent().version)
@@ -213,7 +268,22 @@ private[changes] class ChangesMicroBatchStream(schema0: StructType,
     requireTailable(cur)
     options.getOrDefault("startingVersion", "latest") match {
       case "latest" => VersionOffset(cur.version)
-      case "bootstrap" => VersionOffset(-1L)
+      case "bootstrap" =>
+        // pin the bootstrap snapshot, slice count and lsn bounds NOW —
+        // they ride in every bootstrap offset, so the WAL alone
+        // reconstructs each slice's interval on restart
+        val (gMin, gMax) = table.lsnBounds(cur)
+        val k =
+          if (gMin < 0L || gMax <= gMin) 1
+          else if (bootstrapSlicesOverride > 0) bootstrapSlicesOverride
+          else {
+            val bytes = table.filesOf(cur).map(_.bytes.max(0L)).sum
+            val wanted = 1L + (bytes - 1L).max(0L) / bootstrapSliceBytes
+            math.min(wanted, math.min(gMax - gMin + 1, Int.MaxValue.toLong))
+              .toInt.max(1)
+          }
+        VersionOffset(cur.version, slice = -1, slices = k,
+          lsnMin = gMin, lsnMax = gMax)
       case at if at.startsWith("@") =>
         // timestamp cursor: the snapshot live at that instant (fails
         // clearly when the instant predates the oldest retained version)
@@ -239,17 +309,28 @@ private[changes] class ChangesMicroBatchStream(schema0: StructType,
     }
   }
 
-  override def getDefaultReadLimit: ReadLimit =
-    if (maxVersionsPerTrigger == Long.MaxValue) ReadLimit.allAvailable()
-    else ReadLimit.maxFiles(math.min(maxVersionsPerTrigger, Int.MaxValue).toInt)
+  // Always allAvailable: the version cap is applied INTERNALLY by
+  // latestOffset(start, limit) below (offsets are snapshot versions, and
+  // no stock ReadLimit has that unit — maxFiles would mislabel it anywhere
+  // Spark surfaces or composes the limit).
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) should be called instead")
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[VersionOffset]
+    // mid-bootstrap: emit the NEXT slice, one per micro-batch (each slice
+    // is already byte-sized admission; maxVersionsPerTrigger governs the
+    // tail regime that follows)
+    if (s.inBootstrap && !s.bootstrapDone) return s.copy(slice = s.slice + 1)
     val cur = availableNowTarget.getOrElse(table.loadCurrent().version)
-    val from = start.asInstanceOf[VersionOffset].version
+    val from = s.version
+    // idle (nothing past the bootstrap target yet): return `start`
+    // UNCHANGED — a plain re-encoding of the same version would differ in
+    // json from a bootstrap-form offset and spin empty batches forever
+    if (cur <= from) return s
     val capped =
       if (maxVersionsPerTrigger == Long.MaxValue) cur
       else math.min(cur, math.max(from, -1L) + maxVersionsPerTrigger)
@@ -265,11 +346,22 @@ private[changes] class ChangesMicroBatchStream(schema0: StructType,
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
-  private def requireTailable(snap: Snapshot): Unit =
+  private def requireTailable(snap: Snapshot): Unit = {
     require(snap.unordered.isEmpty,
       s"table $root has unordered sources ${snap.unordered.mkString(",")}: " +
         "their high-water marks do not bound redelivery, so a mark-based " +
         "change stream would be wrong — tail the source directly instead")
+    // mirror of readChanges' legacy guard: rows without a _source tag can
+    // only be filtered against the GLOBAL mark, which is sound solely for
+    // single-source tables — a pre-upgrade multi-source table would
+    // silently drop rows of a source whose LSN sequence runs below it
+    if (!snap.schema.fieldNames.contains(graft.model.Model.sourceColumn))
+      require(snap.hwms.size <= 1,
+        s"table $root is multi-source (${snap.hwms.keys.mkString(",")}) but " +
+          "its rows carry no _source tag (written pre-upgrade) — " +
+          "per-source change-stream filtering is impossible; " +
+          "compact/rewrite the table to stamp the tag")
+  }
 
   /** The stream schema is pinned at start; a file written after an
     * upstream type WIDENING has a different parquet physical type, which
@@ -286,8 +378,31 @@ private[changes] class ChangesMicroBatchStream(schema0: StructType,
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val fromV = start.asInstanceOf[VersionOffset].version
-    val toV = end.asInstanceOf[VersionOffset].version
+    val so = start.asInstanceOf[VersionOffset]
+    val eo = end.asInstanceOf[VersionOffset]
+
+    // bootstrap SLICE batch: files of the pinned snapshot intersecting the
+    // slice's lsn interval (manifest-pruned), exact interval filter on rows
+    if (eo.inBootstrap && eo.slice >= 0) {
+      val to = table.loadVersion(eo.version)
+      requireTailable(to)
+      requireSchemaCompatible(to)
+      val (lo, hi) = ChronicleTable.lsnSliceInterval(
+        eo.lsnMin, eo.lsnMax, eo.slice, eo.slices)
+      batchLsnRange = (
+        if (lo == Long.MinValue) None else Some(lo - 1L),
+        if (hi == Long.MaxValue) None else Some(hi))
+      return table.filesOf(to)
+        .filter(f => f.minLsn < 0L || f.maxLsn < 0L ||
+          (f.minLsn <= hi && f.maxLsn >= lo))
+        .map { f =>
+          ChangeFilePartition(f.path, sizeOf(f), Map.empty, -1L,
+            filtered = false, lsnLo = lo, lsnHi = hi): InputPartition
+        }.toArray
+    }
+
+    val fromV = so.version
+    val toV = eo.version
     if (toV <= fromV) return Array.empty
     val to = table.loadVersion(toV)
     requireTailable(to)
@@ -295,13 +410,14 @@ private[changes] class ChangesMicroBatchStream(schema0: StructType,
 
     val (files, marks, globalMark, filtered) =
       if (fromV < 0L) {
-        batchLsnFloor = None
+        // legacy (pre-sliced-checkpoint) single-batch bootstrap
+        batchLsnRange = (None, None)
         (table.filesOf(to), Map.empty[String, Long], -1L, false)
       } else {
         val since = table.loadVersion(fromV)
         val m = to.hwms.map { case (s, _) => s -> since.hwmFor(s) }
         val thr = if (m.nonEmpty) m.values.min else since.hwmLsn
-        batchLsnFloor = Some(thr)
+        batchLsnRange = (Some(thr), None)
         val kept = to.manifestList
           .filter(mf => mf.maxLsn < 0L || mf.maxLsn > thr)
           .flatMap(mf => table.loadManifest(mf.path))
@@ -330,8 +446,14 @@ private[changes] class ChangesMicroBatchStream(schema0: StructType,
     // so the mark filter below sees InternalRows. The conservative lsn
     // floor rides along as a parquet data filter (row-group/page pruning
     // inside kept files); the exact per-source filter still runs on top.
-    val pushed = batchLsnFloor.toSeq.map(thr =>
-      org.apache.spark.sql.sources.GreaterThan(graft.model.Model.lsnColumn, thr))
+    val (floor, ceil) = batchLsnRange
+    val pushed =
+      floor.toSeq.map(thr =>
+        org.apache.spark.sql.sources.GreaterThan(graft.model.Model.lsnColumn, thr)
+          : org.apache.spark.sql.sources.Filter) ++
+      ceil.toSeq.map(hi =>
+        org.apache.spark.sql.sources.LessThanOrEqual(graft.model.Model.lsnColumn, hi)
+          : org.apache.spark.sql.sources.Filter)
     val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
       sparkSession = spark,
       dataSchema = schema0,
@@ -361,8 +483,15 @@ private[changes] class ChangesReaderFactory(
     // mark, a source the from-snapshot never saw has mark -1 (all rows new)
     val rows = readFunc(file)
     val it =
-      if (!p.filtered) rows
-      else rows.filter { r =>
+      if (!p.filtered) {
+        // bootstrap: no mark filter; a SLICED bootstrap ships each row in
+        // exactly the one slice whose lsn interval holds it
+        if (p.lsnLo == Long.MinValue && p.lsnHi == Long.MaxValue) rows
+        else rows.filter { r =>
+          val lsn = r.getLong(lsnIdx)
+          lsn >= p.lsnLo && lsn <= p.lsnHi
+        }
+      } else rows.filter { r =>
         val lsn = r.getLong(lsnIdx)
         val mark =
           if (srcIdx < 0 || r.isNullAt(srcIdx)) p.globalMark

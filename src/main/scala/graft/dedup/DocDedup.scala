@@ -33,9 +33,16 @@ object DocDedup {
   }
 
   /** Distinct word 3-gram shingles per document. */
-  def shingles(spark: SparkSession, dir: String): DataFrame = {
+  def shingles(spark: SparkSession, dir: String): DataFrame =
+    shinglesOf(docs(spark, dir))
+
+  /** [[shingles]] over any (doc_id, text) frame — the building block the
+    * ENGINE-MAINTAINED signature index ([[SignatureIndex]]) runs on the
+    * changelog's changed documents instead of a parquet directory.
+    */
+  def shinglesOf(docsDf: DataFrame): DataFrame = {
     val toks = TextOps.tokensCol(col("text"))
-    docs(spark, dir)
+    docsDf
       .select(col("doc_id"), toks.as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"),
@@ -107,7 +114,11 @@ object DocDedup {
     * order-sensitive even though bandSigs re-sorts).
     */
   def sigTable(spark: SparkSession, dir: String): DataFrame =
-    shingles(spark, dir)
+    sigTableOf(docs(spark, dir))
+
+  /** [[sigTable]] over any (doc_id, text) frame. */
+  def sigTableOf(docsDf: DataFrame): DataFrame =
+    shinglesOf(docsDf)
       .withColumn("base", md5Long(col("sh")) % minhashPrime)
       .select(col("doc_id"), col("base"),
         explode(sequence(lit(0), lit(minhashPerms - 1))).as("perm"))
@@ -166,26 +177,40 @@ object DocDedup {
   }
 
   /** Incremental LSH: near-dup candidates for a NEW batch of documents
-    * against an already-signed corpus, with the corpus's signatures
-    * REUSED (read from the index, never recomputed from text). Per-batch
-    * work is O(batch bands + matched buckets) — a CDC-fed corpus dedups
-    * each arriving batch without re-LSHing the world, the only shape that
-    * survives at 100 TB (re-banding the corpus per batch is a full scan;
-    * this is an index lookup). Output pairs have at least one new side;
+    * against an already-signed corpus, with the corpus's signatures AND
+    * band signatures REUSED (read from the persisted index, never
+    * recomputed from text — and, with `indexBands` supplied, never
+    * re-banded either). Per-batch work is genuinely O(batch bands +
+    * matched buckets + candidate signatures): the batch's bands join the
+    * PRECOMPUTED banded index on the band key, and verification touches
+    * only the signatures of candidate doc ids (the corpus sig table is
+    * semi-joined on the batch-derived candidate set — a broadcast
+    * map-side filter, no corpus shuffle). A CDC-fed corpus dedups each
+    * arriving batch without re-LSHing the world, the only shape that
+    * survives at 100 TB. Output pairs have at least one new side;
     * old-old pairs were a previous batch's output. The result is
     * EXACTLY `lshPairs` restricted to pairs touching the batch, because
     * signatures are deterministic in the text — incremental and batch
     * dedup converge to the same pair set (spec-asserted).
     *
-    * @param newSigs  minhash signatures of the arriving batch
-    *                 ([[minhashSignatures]] shape: doc_id, perm, minhash)
+    * [[SignatureIndex]] maintains both inputs as ChronicleTables fed by
+    * the document table's own changelog, closing the loop between the
+    * CDC core and the dedup suite.
+    *
+    * @param newSigs   minhash signatures of the arriving batch
+    *                  ([[minhashSignatures]] shape: doc_id, perm, minhash)
     * @param indexSigs the persisted signature index of everything seen
+    * @param indexBands the persisted BANDED index ([[bandSigs]] shape:
+    *                  doc_id, band, bandsig); when absent it is derived
+    *                  from `indexSigs` — a full re-band, acceptable only
+    *                  for one-shot/oracle use
     */
-  def lshPairsIncremental(newSigs: DataFrame, indexSigs: DataFrame): DataFrame = {
-    val allSigs = indexSigs.unionByName(newSigs)
-    val nb = bandSigs(newSigs)
-      .select(col("doc_id").as("n"), col("band"), col("bandsig"))
-    val ib = bandSigs(allSigs)
+  def lshPairsIncremental(newSigs: DataFrame, indexSigs: DataFrame,
+      indexBands: Option[DataFrame] = None): DataFrame = {
+    val nbands = bandSigs(newSigs)
+    val nb = nbands.select(col("doc_id").as("n"), col("band"), col("bandsig"))
+    val ib = indexBands.getOrElse(bandSigs(indexSigs))
+      .unionByName(nbands) // new-new pairs surface in the same join
       .select(col("doc_id").as("m"), col("band"), col("bandsig"))
     // new-vs-(index ∪ new): one bucket join keyed on the band signature;
     // the batch side is the small side (broadcastable when tiny)
@@ -194,18 +219,26 @@ object DocDedup {
       .select(least(col("n"), col("m")).as("a"),
         greatest(col("n"), col("m")).as("b"))
       .distinct()
-    verifyPairs(cand, allSigs)
+    // verify against ONLY the candidate docs' signatures: the candidate
+    // id set is batch-derived (small), so the semi-join broadcasts and
+    // the corpus sig scan never shuffles
+    val ids = cand.select(col("a").as("doc_id"))
+      .unionByName(cand.select(col("b").as("doc_id"))).distinct()
+    val candSigs = indexSigs.unionByName(newSigs)
+      .join(ids, Seq("doc_id"), "left_semi")
+    verifyPairs(cand, candSigs)
   }
 
   /** Oracle wrapper for [[lshPairsIncremental]]: documents with
     * `doc_id % 5 = 0` play the arriving batch, the rest the signed
-    * corpus. Equal to `lshPairs` filtered to batch-touching pairs.
+    * corpus (bands precomputed once, as the managed index would hold
+    * them). Equal to `lshPairs` filtered to batch-touching pairs.
     */
   def lshPairsIncrementalQuery(spark: SparkSession, dir: String): DataFrame = {
     val sig = sigTable(spark, dir)
+    val idx = sig.filter(col("doc_id") % 5 =!= 0)
     lshPairsIncremental(
-      sig.filter(col("doc_id") % 5 === 0),
-      sig.filter(col("doc_id") % 5 =!= 0))
+      sig.filter(col("doc_id") % 5 === 0), idx, Some(bandSigs(idx)))
   }
 
   /** Connected-component clustering of the LSH near-duplicate pair graph:
@@ -229,7 +262,8 @@ object DocDedup {
     *    each round every node takes the minimum label among itself and its
     *    neighbors; rounds = component diameter (near-dup clusters are
     *    shallow). Each round is one shuffle-by-node aggregate; the
-    *    converged label table is checkpointed through parquet so the
+    *    converged label table is checkpointed through parquet on SHARED
+    *    scratch storage ([[graft.util.Scratch.sharedScratch]]) so the
     *    returned plan has flat lineage and no pinned executor memory (at
     *    extreme diameters the same loop upgrades to the published
     *    large-star/small-star alternation — O(log n) rounds over the same
@@ -308,8 +342,13 @@ object DocDedup {
       }
       require(changed == 0, s"label propagation did not converge in $maxRounds rounds")
       // flat-lineage checkpoint of the (small: near-dup docs only) label
-      // table — the returned plan must not re-run the iteration per action
-      val ckpt = java.nio.file.Files.createTempDirectory("graft-cc").toString
+      // table — the returned plan must not re-run the iteration per action.
+      // The checkpoint MUST live on shared storage (conf-resolved): this is
+      // the >1M-pair scale path, and a driver-local temp dir would be a
+      // per-machine `file:` path on a real cluster — executors would write
+      // their partitions to their own disks and the read-back would see
+      // only the driver-visible fragment.
+      val ckpt = graft.util.Scratch.sharedScratch(spark, "cc-labels")
       labels.write.mode("overwrite").parquet(ckpt)
       labels.unpersist()
       spark.read.parquet(ckpt)

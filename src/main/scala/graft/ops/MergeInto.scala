@@ -280,6 +280,13 @@ object MergeInto {
       // drop) — on a shared subplan like `deduped` it would execute once
       // per branch and the bit_xor checksum would self-cancel.
       val obs = org.apache.spark.sql.Observation()
+      // lineage checksum columns: keys + text for transcript tables (the
+      // per-turn text equality invariant), keys + full payload for derived
+      // tables without a text column (e.g. a maintained signature index)
+      val checksumCols = (Model.keyColumns ++
+        (if (mergedPayload.fieldNames.contains("text")) Seq("text")
+         else mergedPayload.fieldNames.toSeq
+           .filterNot(Model.keyColumns.contains))).map(col)
       val metricExprs = Seq(
         coalesce(min(col(Model.ordColumn)), lit(-1L)).as("minLsn"),
         coalesce(max(col(Model.ordColumn)), lit(-1L)).as("maxLsn"),
@@ -288,7 +295,7 @@ object MergeInto {
         coalesce(sum(when(col("op") =!= "D", 1L).otherwise(0L)), lit(0L))
           .as("upserts"),
         coalesce(bit_xor(when(col("op") =!= "D",
-          xxhash64(col("conv_id"), col("turn_idx"), col("text")))), lit(0L))
+          xxhash64(checksumCols: _*))), lit(0L))
           .as("checksum"))
       var obsInput: DataFrame = null
       def observed(rows: DataFrame): DataFrame = {

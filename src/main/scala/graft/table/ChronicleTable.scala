@@ -912,6 +912,47 @@ class ChronicleTable(val root: String) {
     merged.filter(rowFilter)
   }
 
+  /** Global `_lsn` bounds across a snapshot's files, from manifest stats
+    * alone: (min, max), or (-1, -1) when NO manifest carries bounds.
+    * Manifests without bounds (pre-upgrade members) don't narrow the
+    * result — callers slicing by these bounds must keep their first/last
+    * interval open-ended (Long.MinValue / Long.MaxValue), which also
+    * covers any unstatted rows.
+    */
+  def lsnBounds(snapshot: Snapshot): (Long, Long) = {
+    val known = snapshot.manifestList.filter(m => m.minLsn >= 0L && m.maxLsn >= 0L)
+    if (known.isEmpty) (-1L, -1L)
+    else (known.map(_.minLsn).min, known.map(_.maxLsn).max)
+  }
+
+  /** RAW scan of a snapshot restricted to rows with `_lsn` in [lo, hi]:
+    * files pruned at the manifest by lsn-bounds overlap (unknown bounds
+    * conservatively kept), exact residual filter on top. NO merge-on-read
+    * collapse and NO tombstone drop — rows ship as changelog rows
+    * (superseded versions and retained tombstones included), for consumers
+    * that LWW on `_lsn` downstream anyway. This is the unit of the
+    * CHUNKED chain/stream bootstrap ([[graft.cdc.Chain.pollOnce]]): a
+    * huge upstream ships as K disjoint lsn intervals instead of one
+    * table-sized batch, each interval's scan touching only the files it
+    * intersects — the reference's notice-at-a-time consumer granularity
+    * (S3Consumer.java:226-290) applied to the initial sync.
+    */
+  def scanLsnInterval(spark: SparkSession, snapshot: Snapshot,
+      lo: Long, hi: Long): DataFrame = {
+    val schema = snapshot.schema
+    val files = snapshot.manifestList
+      .filter(m => m.minLsn < 0L || m.maxLsn < 0L ||
+        (m.minLsn <= hi && m.maxLsn >= lo))
+      .flatMap(m => loadManifest(m.path))
+      .filter(f => f.minLsn < 0L || f.maxLsn < 0L ||
+        (f.minLsn <= hi && f.maxLsn >= lo))
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else scanFiles(spark, snapshot, files)
+      .filter(col(graft.model.Model.lsnColumn).between(lo, hi))
+  }
+
   /** The changelog as a Structured Streaming SOURCE — the always-on form
     * of [[readChanges]]: offsets are snapshot versions, each micro-batch
     * is the manifest-pruned net changes of a version range, the stream's
@@ -919,18 +960,24 @@ class ChronicleTable(val root: String) {
     * for semantics and options.
     *
     * `startingVersion`: `"latest"` (tail new commits only), `"bootstrap"`
-    * (full state first, then tail), or a retained version number.
-    * `maxVersionsPerTrigger` bounds commits per micro-batch (admission
+    * (full state first — CHUNKED into `bootstrapSliceBytes`-sized
+    * lsn-interval micro-batches (`bootstrapSlices` overrides the count) —
+    * then tail), or a retained version number. `maxVersionsPerTrigger`
+    * bounds commits per micro-batch in the tail regime (admission
     * control).
     */
   def readChangeStream(spark: SparkSession,
       startingVersion: String = "latest",
       maxVersionsPerTrigger: Long = Long.MaxValue,
-      columns: Seq[String] = Nil): DataFrame = {
+      columns: Seq[String] = Nil,
+      bootstrapSliceBytes: Long = 16L << 30,
+      bootstrapSlices: Int = 0): DataFrame = {
     val r = spark.readStream.format("graft.changes")
       .option("path", root)
       .option("startingVersion", startingVersion)
       .option("maxVersionsPerTrigger", maxVersionsPerTrigger)
+      .option("bootstrapSliceBytes", bootstrapSliceBytes)
+      .option("bootstrapSlices", bootstrapSlices max 0)
     (if (columns.nonEmpty) r.option("columns", columns.mkString(","))
      else r).load()
   }
@@ -1071,6 +1118,25 @@ object ChronicleTable {
       }
     }
     (newFloors, window)
+  }
+
+  /** The i-th of `k` disjoint `_lsn` intervals covering [gMin, gMax] —
+    * the deterministic slicing axis of the chunked bootstrap (chain poll
+    * and change-stream alike). The first/last intervals are open-ended
+    * (Long.MinValue / Long.MaxValue) so rows outside the manifest-known
+    * bounds (files without lsn stats) are still covered exactly once.
+    * Pure integer math on the four inputs: replaying the same inputs
+    * reproduces the same intervals bit-for-bit.
+    */
+  def lsnSliceInterval(gMin: Long, gMax: Long, i: Int, k: Int): (Long, Long) = {
+    require(k >= 1 && i >= 0 && i < k, s"slice $i of $k")
+    if (k == 1 || gMin < 0L || gMax < gMin) return (Long.MinValue, Long.MaxValue)
+    val width = BigInt(gMax) - BigInt(gMin) + 1
+    val lo = if (i == 0) Long.MinValue
+             else (BigInt(gMin) + width * i / k).toLong
+    val hi = if (i == k - 1) Long.MaxValue
+             else (BigInt(gMin) + width * (i + 1) / k - 1).toLong
+    (lo, hi)
   }
 
   private[graft] val mapper: ObjectMapper = {

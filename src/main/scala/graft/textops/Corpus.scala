@@ -55,9 +55,8 @@ object Corpus {
   /** Tokens per context window. */
   val PackWindow = 2048L
 
-  /** Parallel packing shards: at 100 TB this is sized so one shard's
-    * token stream fits a task (shard count scales with the cluster; the
-    * assignment `doc_id % shards` is deterministic and join-free).
+  /** Reference shard count for the ORACLE query (the DuckDB twin pins its
+    * shard assignment, so the oracled entry passes this explicitly).
     */
   val PackShards = 16L
 
@@ -67,18 +66,33 @@ object Corpus {
     * document starts in the bin where its running offset lands —
     * single-pass, one shuffle, no driver state. A document may straddle
     * a bin boundary (the trainer's loader splits or pads there); at most
-    * window-1 tokens per straddle are carried over, the standard
-    * streaming-pack tradeoff vs. bin-packing's global sort. Token counts
-    * are the chars/4 estimate capped at the window (an over-long doc
-    * occupies its own bins).
+    * window-1 tokens per straddle are carried over PER SHARD, the
+    * standard streaming-pack tradeoff vs. bin-packing's global sort.
+    * Token counts are the chars/4 estimate capped at the window (an
+    * over-long doc occupies its own bins).
+    *
+    * `shards = 0` (the default) sizes the shard count from the session's
+    * `spark.sql.shuffle.partitions`: the running-offset window sorts one
+    * shard per task, so a CONSTANT count would bottleneck the whole
+    * corpus into that many tasks at any scale. Re-sharding changes which
+    * bin a given document lands in (bins are shard-local by design) but
+    * not the packing quality invariants — every bin except a shard's
+    * last holds >= window tokens worth of starts, and the straddle
+    * carry-over stays bounded by window-1 tokens per shard. Callers that
+    * need a PINNED assignment (the oracle; a resumable packing job) pass
+    * an explicit count.
     */
   def packSequences(spark: SparkSession, dir: String,
-      window: Long = PackWindow, shards: Long = PackShards): DataFrame = {
+      window: Long = PackWindow, shards: Long = 0L): DataFrame = {
+    val nShards =
+      if (shards > 0L) shards
+      else math.max(PackShards,
+        spark.conf.get("spark.sql.shuffle.partitions").toLong)
     val tok = least(((col("n_chars") + 3L) / 4L).cast("long"), lit(window))
     val w = Window.partitionBy("pack_shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs(spark, dir)
-      .select(col("doc_id"), (col("doc_id") % shards).as("pack_shard"),
+      .select(col("doc_id"), (col("doc_id") % nShards).as("pack_shard"),
         tok.as("n_tokens"))
       .withColumn("bin_id",
         ((sum("n_tokens").over(w) - col("n_tokens")) / window).cast("long"))
@@ -145,10 +159,17 @@ object Corpus {
     */
   def mixture(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
+    // the no-trailing-digit case is EXPLICIT (kept at 100%): regexp_extract
+    // returns '' there, and leaving it to cast-to-null fallthrough made the
+    // policy engine-dependent (Spark's ''::int is null -> silently 25%,
+    // DuckDB's errors) — unexpected source names must be deterministic and
+    // oracle-consistent
+    val num = regexp_extract(col("source"), "([0-9]+)$", 1)
     val rates = d.select(col("source")).distinct()
       .withColumn("weight_pct",
-        when(regexp_extract(col("source"), "([0-9]+)$", 1).cast("int") % 2 === 0,
-          100).otherwise(25))
+        when(num === "", 100)
+          .when(num.cast("int") % 2 === 0, 100)
+          .otherwise(25))
     val bucket = conv(hexBucket(concat(col("doc_id").cast("string"),
       col("source"))), 16, 10).cast("int")
     d.join(broadcast(rates), "source")

@@ -1,6 +1,9 @@
 package graft.util
 
+import org.apache.spark.sql.SparkSession
+
 import java.nio.file.{Files, Paths}
+import java.util.UUID
 import scala.jdk.CollectionConverters._
 
 /** Scratch-space helpers shared by the bench mains. Bench scratch prefers
@@ -17,6 +20,42 @@ object Scratch {
     val base = Paths.get("/dev/shm")
     (if (Files.isDirectory(base)) Files.createTempDirectory(base, prefix)
      else Files.createTempDirectory(prefix)).toString
+  }
+
+  /** A fresh scratch subdirectory on storage visible to EVERY executor
+    * and the driver — for engine checkpoints whose write fans out across
+    * executors and whose read-back must see all of it (the distributed
+    * connected-components label table). Resolution order:
+    *
+    *   1. the `graft.scratch.dir` session conf (the operator's shared
+    *      scratch root — object store / HDFS / NFS);
+    *   2. the SparkContext checkpoint dir (already required to be shared
+    *      storage by Spark's own RDD checkpointing contract);
+    *   3. ONLY under a local master (`local[*]` / `local-cluster[...]` —
+    *      one host, one filesystem): a java temp dir.
+    *
+    * On a multi-node cluster with neither configured this FAILS with the
+    * configuration instruction instead of handing back a driver-local
+    * `file:` path that every machine would resolve privately — executors
+    * would scatter their partitions across their own disks and the
+    * read-back would see only the driver-visible fragment.
+    */
+  def sharedScratch(spark: SparkSession, purpose: String): String = {
+    val conf = spark.conf.getOption("graft.scratch.dir")
+      .orElse(spark.sparkContext.getCheckpointDir)
+    conf match {
+      case Some(root) =>
+        s"${root.stripSuffix("/")}/$purpose-${UUID.randomUUID()}"
+      case None if spark.sparkContext.isLocal ||
+          spark.sparkContext.master.startsWith("local-cluster") =>
+        Files.createTempDirectory(s"graft-$purpose").toString
+      case None =>
+        throw new IllegalStateException(
+          s"no shared scratch for '$purpose' on a multi-node cluster: set " +
+            "the graft.scratch.dir session conf (or a SparkContext " +
+            "checkpoint dir) to a path on shared storage — a driver-local " +
+            "temp dir would scatter executor partitions across machines")
+    }
   }
 
   /** Recursive delete (missing dir is a no-op). */

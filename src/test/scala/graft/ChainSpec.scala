@@ -274,6 +274,63 @@ class ChainSpec extends SparkSpec {
       mergeOnRead = true).isEmpty)
   }
 
+  test("CHUNKED bootstrap: the first poll ships in multiple exactly-once lsn slices; a crash between slices reconverges") {
+    // MOR upstream with deletes: the sliced bootstrap's RAW interval scans
+    // must carry superseded versions and tombstones correctly through the
+    // downstream LWW merge
+    val cfg = BinlogConfig(numEvents = 1200, numConversations = 10,
+      segmentSize = 300, dupPct = 5, pDelete = 0.2)
+    val src = tmpDir("chain-cb-bl")
+    BinlogGenerator.writeSegments(spark, cfg, src)
+    val p = new CdcPipeline(PipelineConfig(src, tmpDir("chain-cb-up"),
+      segmentsPerBatch = 1, numBuckets = 4, mergeOnRead = true))
+    p.runAll(spark) // several upstream versions -> unit space for slice keys
+    val oracle = BinlogGenerator.referenceReduction(cfg)
+      .values.map(e => (e.conv_id, e.turn_idx, e.text)).toSet
+
+    // a 1-byte slice budget forces the maximum slice count (capped by the
+    // upstream version count)
+    val down = new graft.table.ChronicleTable(tmpDir("chain-cb-down"))
+    val r = Chain.pollOnce(spark, p.table, down, numBuckets = 4,
+      mergeOnRead = true, bootstrapSliceBytes = 1L).get
+    assert(r.merges.size > 1, "bootstrap must land in more than one slice")
+    assert(visible(down) == visible(p.table))
+    assert(visible(down) == oracle)
+    // marks mirror the upstream's and the slice range keys fold to floors
+    assert(down.loadCurrent().hwms("binlog") ==
+      p.table.loadCurrent().hwms("binlog"))
+    assert(down.loadCurrent().committedBatches.isEmpty,
+      s"slice keys must fold, found " +
+        down.loadCurrent().committedBatches.keySet)
+    val dup = down.read(spark).filter(!col(Model.deletedColumn))
+      .groupBy("conv_id", "turn_idx").count().filter(col("count") > 1).count()
+    assert(dup == 0L)
+
+    // crash BETWEEN slices: the second slice commit dies mid-bootstrap;
+    // the re-poll replays the same deterministic slices, the committed
+    // one skips by ledger key, and the table still converges
+    val down2 = new graft.table.ChronicleTable(tmpDir("chain-cb-down2"))
+    val commits = new java.util.concurrent.atomic.AtomicInteger(0)
+    down2.beforePublishHook = _ =>
+      if (commits.incrementAndGet() == 2)
+        throw new RuntimeException("crash between bootstrap slices")
+    intercept[RuntimeException] {
+      Chain.pollOnce(spark, p.table, down2, numBuckets = 4,
+        mergeOnRead = true, bootstrapSliceBytes = 1L)
+    }
+    down2.beforePublishHook = _ => ()
+    val r2 = Chain.pollOnce(spark, p.table, down2, numBuckets = 4,
+      mergeOnRead = true, bootstrapSliceBytes = 1L).get
+    assert(r2.merges.exists(_.skipped),
+      "the slice committed before the crash must skip by ledger key")
+    assert(visible(down2) == oracle)
+    assert(Chain.pollOnce(spark, p.table, down2, numBuckets = 4,
+      mergeOnRead = true, bootstrapSliceBytes = 1L).isEmpty)
+    val dup2 = down2.read(spark).filter(!col(Model.deletedColumn))
+      .groupBy("conv_id", "turn_idx").count().filter(col("count") > 1).count()
+    assert(dup2 == 0L)
+  }
+
   test("an expired upstream cursor errors clearly instead of shipping a wrong delta") {
     val cfg = BinlogConfig(numEvents = 600, numConversations = 5,
       segmentSize = 200, dupPct = 0, pDelete = 0.0)

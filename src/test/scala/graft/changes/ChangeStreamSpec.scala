@@ -145,6 +145,75 @@ class ChangeStreamSpec extends SparkSpec {
     assert(visible(down) == oracle)
   }
 
+  test("CHUNKED stream bootstrap: lands in multiple micro-batches; a crash between slices resumes from the WAL") {
+    val cfg = BinlogConfig(numEvents = 1200, numConversations = 10,
+      segmentSize = 300, dupPct = 5, pDelete = 0.2)
+    val src = tmpDir("cs-cb-bl")
+    BinlogGenerator.writeSegments(spark, cfg, src)
+    val p = new CdcPipeline(PipelineConfig(src, tmpDir("cs-cb-up"),
+      segmentsPerBatch = 1, numBuckets = 4, mergeOnRead = true))
+    p.runAll(spark)
+    val oracle = BinlogGenerator.referenceReduction(cfg)
+      .values.map(e => (e.conv_id, e.turn_idx, e.text)).toSet
+
+    // offset-level slice plan: initialOffset pins (slices, lsn bounds);
+    // latestOffset walks one slice per micro-batch; slice partitions tile
+    // the lsn axis disjointly
+    val ms = stream(p.table.root,
+      Map("startingVersion" -> "bootstrap", "bootstrapSlices" -> "3"))
+    val o0 = ms.initialOffset().asInstanceOf[VersionOffset]
+    assert(o0.slices == 3 && o0.slice == -1 && o0.lsnMin >= 0)
+    val o1 = ms.latestOffset(o0, null).asInstanceOf[VersionOffset]
+    val o2 = ms.latestOffset(o1, null).asInstanceOf[VersionOffset]
+    val o3 = ms.latestOffset(o2, null).asInstanceOf[VersionOffset]
+    assert(Seq(o1.slice, o2.slice, o3.slice) == Seq(0, 1, 2))
+    // idle after the last slice (upstream unchanged): offset returns as-is
+    assert(ms.latestOffset(o3, null) == o3)
+    // offsets round-trip through the WAL json
+    assert(ms.deserializeOffset(o2.json()) == o2)
+    val counts = Seq((o0, o1), (o1, o2), (o2, o3)).map { case (a, b) =>
+      ms.planInputPartitions(a, b).map(
+        _.asInstanceOf[ChangeFilePartition]).toSeq
+    }
+    assert(counts.flatten.nonEmpty)
+    val intervals = Seq(o1, o2, o3).map(o => ChronicleTable
+      .lsnSliceInterval(o.lsnMin, o.lsnMax, o.slice, o.slices))
+    assert(intervals.head._1 == Long.MinValue &&
+      intervals.last._2 == Long.MaxValue)
+    assert(intervals(0)._2 + 1 == intervals(1)._1 &&
+      intervals(1)._2 + 1 == intervals(2)._1, s"slices must tile: $intervals")
+
+    // end-to-end: the sliced bootstrap converges and the stream cursor
+    // shows it took one micro-batch per slice
+    val down = new ChronicleTable(tmpDir("cs-cb-down"))
+    Chain.syncStream(spark, p.table, down, numBuckets = 4,
+      mergeOnRead = true, bootstrapSlices = 3)
+    assert(visible(down) == oracle)
+    assert(visible(down) == visible(p.table))
+    noDupKeys(down)
+    assert(down.loadCurrent().cursors(
+      s"${Chain.streamCursorPrefix}${p.table.root}") >= 2L,
+      "bootstrap must have spanned at least 3 micro-batches")
+
+    // crash BETWEEN slices: the second slice's commit dies; the restarted
+    // query replays the SAME slice plan from the offset WAL, the committed
+    // slice skips by ledger key, and the table converges
+    val down2 = new ChronicleTable(tmpDir("cs-cb-down2"))
+    val commits = new java.util.concurrent.atomic.AtomicInteger(0)
+    down2.beforePublishHook = _ =>
+      if (commits.incrementAndGet() == 2)
+        throw new RuntimeException("crash between stream bootstrap slices")
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      Chain.syncStream(spark, p.table, down2, numBuckets = 4,
+        mergeOnRead = true, bootstrapSlices = 3)
+    }
+    down2.beforePublishHook = _ => ()
+    Chain.syncStream(spark, p.table, down2, numBuckets = 4,
+      mergeOnRead = true, bootstrapSlices = 3)
+    assert(visible(down2) == oracle)
+    noDupKeys(down2)
+  }
+
   test("micro-batch planning prunes pre-cursor files at the manifest") {
     import graft.ops.MergeInto
     val cfg = BinlogConfig(numEvents = 1600, numConversations = 12,
