@@ -88,4 +88,77 @@ class ClusterModeSpec extends AnyFunSuite {
     q.awaitTermination(180000)
     assert(tableRows(p) == oracleRows(cfg))
   }
+
+  test("distributed connected components on real executors: shared-scratch checkpoint equals driver union-find") {
+    import graft.dedup.DocDedup
+    import spark.implicits._
+    // 12 groups x 3 exact copies: the pair graph has 12 components of 3
+    val dir = SparkSpec.tmpDir("cluster-docs")
+    // per-group token sets are fully disjoint: within-group exact copies
+    // pair, across groups nothing shares a shingle
+    val texts = (0 until 12).map(g =>
+      (0 until 20).map(k => s"tok${g}x$k").mkString(" "))
+    (0 until 36).map(i => (i.toLong, texts(i % 12)))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // the >1M-pair scale path, forced (smallGraphMaxPairs = 0): min-label
+    // propagation whose fixpoint checkpoints through the CONFIGURED shared
+    // scratch — executors write it, the driver reads it back. This is the
+    // path a driver-local temp dir silently breaks on a real cluster.
+    spark.conf.set("graft.scratch.dir", SparkSpec.tmpDir("cluster-cc-scratch"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSeq
+    val viaDistributed =
+      rows(DocDedup.lshClusterReps(spark, dir, smallGraphMaxPairs = 0))
+    val viaDriver = rows(DocDedup.lshClusterReps(spark, dir))
+    assert(viaDistributed.nonEmpty && viaDistributed.size == 36)
+    assert(viaDistributed == viaDriver,
+      "distributed min-label must match driver union-find bit-for-bit")
+    assert(viaDistributed.count(_._4) == 12) // one rep per group
+  }
+
+  test("type widening is adopted across a change-stream restart on real executors") {
+    import graft.cdc.Chain
+    import graft.model.Model
+    import graft.ops.MergeInto
+    import graft.table.ChronicleTable
+    import org.apache.spark.sql.types._
+
+    val up = new ChronicleTable(SparkSpec.tmpDir("cluster-widen-up"))
+    up.create(Model.physicalSchemaV1, 4)
+    val down = new ChronicleTable(SparkSpec.tmpDir("cluster-widen-down"))
+
+    def batch(lsn: Long, conv: String, score: Any, t: DataType) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(Row(lsn, "I", conv, 0, "user",
+          s"turn of $conv", null, new java.sql.Timestamp(lsn), score))),
+        StructType(Seq(
+          StructField("lsn", LongType), StructField("op", StringType),
+          StructField("conv_id", StringType), StructField("turn_idx", IntegerType),
+          StructField("role", StringType), StructField("text", StringType),
+          StructField("tool", StringType), StructField("ts", TimestampType),
+          StructField("score", t))))
+
+    MergeInto(spark, up, batch(1L, "c-int", 7, IntegerType), "w#0", "writer")
+    Chain.syncStream(spark, up, down, numBuckets = 4)
+    assert(down.loadCurrent().schema("score").dataType == IntegerType)
+
+    // upstream WIDENS int -> long while the stream is stopped; the
+    // restarted stream (same checkpoint) must adopt the widened schema,
+    // read pre-widening int files through the long-typed reader, and ship
+    // a value only a long can hold — across real executor JVMs
+    val big = (1L << 40) + 3L
+    MergeInto(spark, up, batch(2L, "c-long", big, LongType), "w#1", "writer")
+    assert(up.loadCurrent().schema("score").dataType == LongType)
+    Chain.syncStream(spark, up, down, numBuckets = 4)
+    assert(down.loadCurrent().schema("score").dataType == LongType,
+      "restart must adopt the widened upstream schema downstream")
+    val scores = down.read(spark)
+      .filter(!org.apache.spark.sql.functions.col(Model.deletedColumn))
+      .select("conv_id", "score").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(scores == Map("c-int" -> 7L, "c-long" -> big))
+  }
 }

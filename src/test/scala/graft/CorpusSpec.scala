@@ -74,6 +74,35 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("pack: the default shard count scales with the session parallelism, never a constant bottleneck") {
+    // the running-offset window sorts ONE SHARD PER TASK: a constant shard
+    // count would cap the whole corpus at that many tasks at any scale, so
+    // the auto default derives from spark.sql.shuffle.partitions (explicit
+    // shards remain for the pinned oracle assignment)
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "64")
+      val auto = Corpus.packSequences(spark, dir)
+        .select("pack_shard").distinct().count()
+      assert(auto == 64L, s"auto shards = $auto, want 64")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+    // pinned shards stay pinned (the oracle's assignment)
+    val pinned = Corpus.packSequences(spark, dir, shards = 16L)
+      .select("pack_shard").distinct().count()
+    assert(pinned == 16L)
+    // packing-quality invariants hold at any shard count: no bin starts
+    // past the window, bins dense per shard
+    val rows = Corpus.packSequences(spark, dir, shards = 64L)
+      .select("pack_shard", "bin_id", "n_tokens", "doc_id").collect()
+    rows.groupBy(_.getLong(0)).foreach { case (sh, rs) =>
+      var cum = 0L
+      rs.sortBy(_.getLong(3)).foreach { r =>
+        assert(r.getLong(1) == cum / Corpus.PackWindow)
+        cum += r.getLong(2)
+      }
+    }
+  }
+
   test("stratified sample: exactly k per stratum, stable under growth") {
     val s1 = Corpus.sampleStratified(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1)))

@@ -88,6 +88,96 @@ class DocDedupSpec extends SparkSpec {
     assert(incNN.contains((0L, 2L)))
   }
 
+  test("SignatureIndex: engine-maintained LSH index tracks the doc table's changelog; per-batch pairs union to the full dedup") {
+    import graft.dedup.SignatureIndex
+    import graft.model.Model
+    import graft.ops.MergeInto
+    import graft.table.ChronicleTable
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+
+    val root = tmpDir("sigidx")
+    val docsT = new ChronicleTable(s"$root/docs")
+    val sigsT = new ChronicleTable(s"$root/sigs")
+    val bandsT = new ChronicleTable(s"$root/bands")
+    docsT.create(Model.physicalSchemaV1, 4)
+
+    val base = "the quick brown fox jumps over the lazy dog while the " +
+      "cat sleeps on the warm mat near the old wooden door of the house"
+    val text = Map(
+      0L -> base,
+      1L -> base.replace("warm mat", "cold mat"),
+      2L -> base,
+      3L -> ("completely different text about spark catalyst optimizer rules " +
+        "and whole stage code generation for columnar execution engines " +
+        "with vectorized parquet readers and shuffle partitioning"),
+      4L -> "short note") // < 3 tokens of shingle: must index as ABSENT
+
+    val evSchema = StructType(Seq(
+      StructField("lsn", LongType), StructField("op", StringType),
+      StructField("conv_id", StringType), StructField("turn_idx", IntegerType),
+      StructField("role", StringType), StructField("text", StringType),
+      StructField("tool", StringType), StructField("ts", TimestampType)))
+    var lsn = 0L
+    def batch(evs: Seq[(Long, String)]): org.apache.spark.sql.DataFrame =
+      spark.createDataFrame(spark.sparkContext.parallelize(evs.map {
+        case (d, op) =>
+          lsn += 1
+          Row(lsn, op, d.toString, 0, "doc",
+            if (op == "D") null else text(d), null,
+            new java.sql.Timestamp(lsn))
+      }), evSchema)
+
+    // establish the (empty) index so every batch has a valid pre-version
+    SignatureIndex.update(spark, docsT, sigsT, bandsT, numBuckets = 4)
+
+    // CDC batches of document INSERTS; the index updates after each and
+    // the per-batch incremental pairs accumulate
+    val inserts = Seq(Seq(3L -> "I", 4L -> "I"), Seq(0L -> "I", 1L -> "I"),
+      Seq(2L -> "I"))
+    val acc = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    inserts.zipWithIndex.foreach { case (evs, i) =>
+      MergeInto(spark, docsT, batch(evs), s"docs#$i", "spec",
+        mergeOnRead = true)
+      val vBefore = sigsT.loadCurrent().version
+      SignatureIndex.update(spark, docsT, sigsT, bandsT, numBuckets = 4)
+      SignatureIndex.incrementalPairs(spark, sigsT, bandsT, vBefore)
+        .collect().foreach(r =>
+          acc((r.getLong(0), r.getLong(1))) = r.getLong(2))
+    }
+    // exactly-once: a re-run with nothing new applies nothing
+    assert(SignatureIndex.update(spark, docsT, sigsT, bandsT, 4) == 0)
+
+    // union-of-batches ≡ full-batch lshPairs over the final corpus
+    val full = DocDedup.lshPairs(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(acc.toMap == full,
+      s"incremental union ${acc.toMap} != full $full")
+
+    // consistency law: the maintained index equals signatures recomputed
+    // from the current corpus — including after an UPDATE (doc 1 becomes
+    // unrelated text) and a DELETE (doc 2); doc 4 has no shingles and must
+    // be absent from both sides
+    val upd = Seq(1L -> "U", 2L -> "D")
+    MergeInto(spark, docsT, batch(upd).withColumn("text",
+        when(col("op") === "U", lit("unrelated replacement text entirely " +
+          "changing the shingle set of this document")).otherwise(col("text"))),
+      "docs#3", "spec", mergeOnRead = true)
+    SignatureIndex.update(spark, docsT, sigsT, bandsT, numBuckets = 4)
+    val curDocs = docsT.read(spark).filter(!col(Model.deletedColumn))
+      .select(col("conv_id").cast("long").as("doc_id"), col("text"))
+    val expect = DocDedup.sigTableOf(curDocs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = SignatureIndex.sigView(spark, sigsT).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect, "maintained sig index drifted from the corpus")
+    val expectBands = DocDedup.bandSigs(DocDedup.sigTableOf(curDocs))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val gotBands = SignatureIndex.bandView(spark, bandsT).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(gotBands == expectBands, "maintained band index drifted")
+  }
+
   test("LSH cluster reps: transitive closure of the pair graph, min-id canonical") {
     // chained corpus: 0~1 and 1~2 are near-dups but 0 and 2 drift further
     // apart — the component {0,1,2} must still share one representative

@@ -77,4 +77,31 @@ class StatusServerSpec extends SparkSpec {
       assert(sc3 == 503 && sb3.contains("error"))
     } finally srv2.stop(0)
   }
+
+  test("a chain-fed table's /stats shows per-mode rates for the chained drain") {
+    import graft.cdc.Chain
+    val cfg = BinlogConfig(numEvents = 600, numConversations = 6, segmentSize = 200)
+    val src = tmpDir("binlog-chainstat")
+    BinlogGenerator.writeSegments(spark, cfg, src)
+    val p = new CdcPipeline(PipelineConfig(src, tmpDir("table-chainstat-up"),
+      segmentsPerBatch = 1, numBuckets = 2))
+    p.runAll(spark, maxBatches = 2)
+    val down = new graft.table.ChronicleTable(tmpDir("table-chainstat-down"))
+    Chain.drain(spark, p.table, down, numBuckets = 2)
+    p.runAll(spark)
+    Chain.drain(spark, p.table, down, numBuckets = 2)
+
+    val srv = StatusServer.start(down.root, port = 0)
+    try {
+      val (sc, sb) = get(srv.getAddress.getPort, "/stats")
+      assert(sc == 200)
+      val json = graft.table.ChronicleTable.mapper.readTree(sb)
+      // chain polls record metrics-ledger lines on the DOWNSTREAM table,
+      // so the /surosinkstat numbers are live for chain-fed tables too
+      val chainRates = json.get("recentRates").get("chain-poll")
+      assert(chainRates != null, s"no chain-poll rates in $sb")
+      assert(chainRates.get("batches").asInt >= 2)
+      assert(chainRates.get("rows").asLong > 0)
+    } finally srv.stop(0)
+  }
 }
