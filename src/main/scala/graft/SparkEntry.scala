@@ -65,6 +65,7 @@ object SparkEntry {
     "cdc_time_slice" -> ((s, d) => CdcQueries.timeSlice(s, d)),
     "cdc_incremental" -> ((s, d) => CdcQueries.incrementalChanges(s, d)),
     "cdc_point_lookup" -> ((s, d) => CdcQueries.pointLookup(s, d)),
+    "cdc_sql_catalog" -> ((s, d) => CdcQueries.sqlCatalogLookup(s, d)),
     "cdc_scd2" -> ((s, d) => CdcQueries.scd2(s, d)),
     "cdc_hwm_anti" -> ((s, d) => CdcQueries.hwmAntiJoin(s, d)),
     "cdc_route_dsl" -> ((s, d) => CdcQueries.routeDsl(s, d)),
@@ -170,6 +171,15 @@ object SparkEntry {
          |ORDER BY conv_id, turn_idx""".stripMargin,
 
     "cdc_point_lookup" ->
+      s"""WITH ch AS ($changesSql),
+         |d AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn FROM ch),
+         |f AS (SELECT conv_id, turn_idx, role, text, tool, ts_ms
+         |      FROM d WHERE rn = 1 AND op <> 'D')
+         |SELECT * FROM f WHERE conv_id = (SELECT min(conv_id) FROM f)
+         |ORDER BY turn_idx""".stripMargin,
+
+    // same answer through the SQL catalog surface (graft.sql.GraftCatalog)
+    "cdc_sql_catalog" ->
       s"""WITH ch AS ($changesSql),
          |d AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn FROM ch),
          |f AS (SELECT conv_id, turn_idx, role, text, tool, ts_ms

@@ -177,6 +177,28 @@ object CdcQueries {
       .orderBy("turn_idx")
   }
 
+  /** The point lookup through the SQL CATALOG surface
+    * ([[graft.sql.GraftCatalog]]): the replayed table resolves as
+    * `graft_cat.<name>` and is queried with plain SQL — no view
+    * registration, manifest pruning (conv_id equality prunes to ONE hash
+    * bucket during planning), tombstones hidden by the source. Shares
+    * [[pointLookup]]'s oracle shape: the answer must not depend on which
+    * surface reads the table.
+    */
+  def sqlCatalogLookup(spark: SparkSession, dir: String): DataFrame = {
+    val t = replayTable(spark, dir)
+    val k = t.read(spark).filter(!col(Model.deletedColumn))
+      .agg(min("conv_id")).collect()(0).getString(0)
+    val root = java.nio.file.Paths.get(t.root)
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.root", root.getParent.toString)
+    spark.sql(
+      s"""SELECT conv_id, turn_idx, role, text, tool, unix_millis(ts) AS ts_ms
+         |FROM graft_cat.`${root.getFileName}`
+         |WHERE conv_id = '$k'
+         |ORDER BY turn_idx""".stripMargin)
+  }
+
   /** SCD type-2 history: every key's version chain with LSN validity
     * ranges — each I/U change opens a version valid [lsn, next change's
     * lsn); a delete closes the chain without opening one; the open version

@@ -1,0 +1,458 @@
+package graft.sql
+
+import graft.model.Model
+import graft.table.{ChronicleTable, DataFileMeta, Snapshot}
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability, TableCatalog, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.execution.datasources.{FileFormat, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import java.util.OptionalLong
+import scala.jdk.CollectionConverters._
+
+/** The engine's SQL-warehouse surface: ChronicleTables as DataSource v2
+  * BATCH tables, so plain `spark.read.format("graft").load(root)` and
+  * `spark.sql("SELECT … FROM graft_cat.t")` work with no manual view
+  * registration — the first thing a warehouse user reaches for, and the
+  * usability gap the reference never had to fill (it is config-driven;
+  * its consumers are sinks, not analysts).
+  *
+  * Semantics: a scan serves the snapshot's VISIBLE state — merge-on-read
+  * deltas LWW-collapse per key, tombstoned rows are hidden — i.e. exactly
+  * what [[ChronicleTable.read]] + `!_deleted` yields, as one source. The
+  * system columns (`_lsn`, `_source`) stay queryable.
+  *
+  * Scale shape (the same discipline as [[graft.table.ChronicleFileIndex]]):
+  *  - filter pushdown prunes data files at the MANIFEST during planning —
+  *    `conv_id` point/range/IN (plus HASH-BUCKET pruning on equality: a
+  *    point lookup opens one bucket, the `readKey` serving path through
+  *    SQL), `ts` bounds (base files), `_lsn` lower bounds;
+  *  - column pruning reaches the parquet reader (a two-column projection
+  *    of a wide transcript table reads two column chunks), and the pushed
+  *    filters ride into the reader for row-group/page pruning;
+  *  - merge-on-read buckets read through a STREAMING SORTED MERGE: every
+  *    engine write lands files sorted by (conv_id, turn_idx), so one
+  *    input partition per delta-carrying bucket k-way-merges its files
+  *    with O(files) memory — no shuffle, no per-bucket hash map. Pure-base
+  *    buckets stay one partition per file.
+  *  - statistics (bytes/rows) come from the manifest, so the optimizer
+  *    can broadcast a small pruned read.
+  *
+  * Writes stay with the engine (MERGE has CDC semantics SQL INSERT cannot
+  * express); the catalog is read-only and says so.
+  */
+class GraftDataSource extends TableProvider {
+
+  private def pathOf(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft tables need option 'path' (the table root)"))
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    new ChronicleTable(pathOf(options)).loadCurrent().schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val root = pathOf(new CaseInsensitiveStringMap(properties))
+    val t = new ChronicleTable(root)
+    new GraftTable(t, t.loadCurrent())
+  }
+}
+
+/** One snapshot of one ChronicleTable as a DSv2 batch table. The snapshot
+  * is PINNED at resolution time (repeatable reads within a query; time
+  * travel hands in an older one).
+  */
+private[graft] class GraftTable(val table: ChronicleTable,
+    val snapshot: Snapshot) extends Table with SupportsRead {
+
+  override def name(): String = s"graft(${table.root}@v${snapshot.version})"
+  override def schema(): StructType = snapshot.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(table, snapshot)
+}
+
+private[sql] class GraftScanBuilder(table: ChronicleTable, snap: Snapshot)
+  extends ScanBuilder with SupportsPushDownFilters
+  with SupportsPushDownRequiredColumns {
+
+  private val tableCols = snap.schema.fieldNames.toSet
+  private var pushed: Array[sources.Filter] = Array.empty
+  private var required: StructType = snap.schema
+
+  /** Accept every filter whose referenced columns all exist at the top
+    * level (they feed manifest pruning and the parquet reader); hand ALL
+    * filters back to Spark as residuals — the engine prunes, Spark stays
+    * responsible for exactness.
+    */
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    pushed = filters.filter(_.references.forall(tableCols.contains))
+    filters
+  }
+  override def pushedFilters(): Array[sources.Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new GraftScan(table, snap, pushed, required)
+}
+
+private[sql] class GraftScan(table: ChronicleTable, snap: Snapshot,
+    pushed: Array[sources.Filter], required: StructType)
+  extends Scan with Batch with SupportsReportStatistics {
+
+  import GraftSql._
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft(${table.root}@v${snap.version}) " +
+      s"pushed=[${pushed.mkString(",")}]"
+
+  /** Manifest-pruned file set (computed once per scan, driver-side). */
+  private lazy val files: Seq[DataFileMeta] = {
+    val keyB = bounds(pushed, "conv_id", asKey)
+    val tsB = bounds(pushed, "ts", asTsMillis)
+    val lsnB = bounds(pushed, Model.lsnColumn, asLsn)
+    // conv_id EQUALITY additionally prunes by hash bucket — the readKey
+    // point-lookup plan, now reachable from SQL
+    val buckets: Option[Set[Int]] = eqValues(pushed, "conv_id").map(vs =>
+      vs.map(v => ChronicleTable.bucketOf(v, snap.numBuckets)))
+    table.filesOf(snap).filter { f =>
+      val bucketOk = buckets.forall(_.contains(f.bucket))
+      val keyOk = keyB.forall { case (lo, hi) =>
+        lo.forall(l => f.maxKey >= l.asInstanceOf[String]) &&
+          hi.forall(h => f.minKey <= h.asInstanceOf[String])
+      }
+      // ts pruning applies to BASE files with stats only (a kept delta can
+      // only displace or tombstone — the readSlice soundness argument)
+      val tsOk = f.delta || (f.minTsMs == 0L && f.maxTsMs == 0L) ||
+        tsB.forall { case (lo, hi) =>
+          lo.forall(l => f.maxTsMs >= l.asInstanceOf[Long]) &&
+            hi.forall(h => f.minTsMs <= h.asInstanceOf[Long])
+        }
+      val lsnOk = f.maxLsn < 0L ||
+        lsnB.forall { case (lo, _) =>
+          lo.forall(l => f.maxLsn >= l.asInstanceOf[Long])
+        }
+      bucketOk && keyOk && tsOk && lsnOk
+    }
+  }
+
+  /** Columns the READER must materialize beyond the projection: the LWW
+    * merge keys + order + tombstone flag, and every pushed filter's
+    * references (so the filters can ride into the parquet reader).
+    */
+  private lazy val readAll: StructType = {
+    val need = required.fieldNames.toSet ++
+      Model.keyColumns ++ Seq(Model.lsnColumn, Model.deletedColumn) ++
+      pushed.flatMap(_.references)
+    StructType(snap.schema.fields.filter(f => need.contains(f.name)))
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val byBucket = files.groupBy(_.bucket)
+    byBucket.toSeq.sortBy(_._1).flatMap { case (_, fs) =>
+      if (fs.exists(_.delta))
+        // delta-carrying bucket: ONE partition streaming-merges its files
+        // (keys never span buckets, so the per-bucket merge is exact)
+        Seq(GraftPartition(fs.map(f => (f.path, f.bytes)), merge = true))
+      else fs.map(f => GraftPartition(Seq((f.path, f.bytes)), merge = false))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = SparkSession.active
+    val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
+      sparkSession = spark,
+      dataSchema = snap.schema,
+      partitionSchema = new StructType(),
+      requiredSchema = readAll,
+      filters = pushed.toSeq,
+      options = Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
+      hadoopConf = spark.sessionState.newHadoopConf())
+    val idx = readAll.fieldNames.zipWithIndex.toMap
+    new GraftReaderFactory(readFunc,
+      convIdx = idx("conv_id"), turnIdx = idx("turn_idx"),
+      lsnIdx = idx(Model.lsnColumn), delIdx = idx(Model.deletedColumn),
+      outIdx = required.fields.map(f => idx(f.name)),
+      outTypes = required.fields.map(_.dataType),
+      readTypes = readAll.fields.map(_.dataType))
+  }
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong = {
+      val known = files.map(_.bytes).sum
+      OptionalLong.of(if (known > 0) known else files.map(_.rows).sum * 64L)
+    }
+    override def numRows(): OptionalLong =
+      OptionalLong.of(files.map(_.rows).sum)
+  }
+}
+
+/** One scan partition: a pure-base file, or ALL files of a delta-carrying
+  * bucket (merge = true).
+  */
+private[graft] case class GraftPartition(files: Seq[(String, Long)],
+    merge: Boolean) extends InputPartition
+
+private[sql] class GraftReaderFactory(
+    readFunc: PartitionedFile => Iterator[InternalRow],
+    convIdx: Int, turnIdx: Int, lsnIdx: Int, delIdx: Int,
+    outIdx: Array[Int], outTypes: Array[DataType],
+    readTypes: Array[DataType]) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftPartition]
+    def open(f: (String, Long)): Iterator[InternalRow] =
+      readFunc(PartitionedFile(InternalRow.empty,
+        SparkPath.fromPathString(f._1), 0L, f._2,
+        Array.empty[String], 0L, f._2))
+    val rows: Iterator[InternalRow] =
+      if (p.merge)
+        new SortedLwwMerge(p.files.map(open), convIdx, turnIdx, lsnIdx)
+      else p.files.iterator.flatMap(open)
+    // visible state: tombstone winners are hidden
+    val it = rows.filter(r => !r.getBoolean(delIdx))
+    val project = UnsafeProjection.create(
+      outIdx.zip(outTypes).map { case (i, t) =>
+        BoundReference(i, t, nullable = true)
+      }.toSeq)
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { cur = project(it.next()); true } else false
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** Streaming k-way LWW merge of per-file row streams, each sorted by
+  * (conv_id, turn_idx) with unique keys within a stream — the invariant
+  * every engine write upholds (hash-split AND compaction writes sort
+  * within files). Per key the max-`_lsn` row wins; memory is O(streams)
+  * (one buffered row each — buffered rows are COPIES, the parquet reader
+  * reuses its row). A stream delivering out of order fails loudly (a
+  * foreign file snuck into the bucket) instead of merging wrong.
+  */
+private[sql] class SortedLwwMerge(streams: Seq[Iterator[InternalRow]],
+    convIdx: Int, turnIdx: Int, lsnIdx: Int) extends Iterator[InternalRow] {
+
+  private val its = streams.toArray
+  private val heads = its.map(it => if (it.hasNext) it.next().copy() else null)
+
+  private def cmp(a: InternalRow, b: InternalRow): Int = {
+    val c = a.getUTF8String(convIdx).compareTo(b.getUTF8String(convIdx))
+    if (c != 0) c else Integer.compare(a.getInt(turnIdx), b.getInt(turnIdx))
+  }
+
+  override def hasNext: Boolean = heads.exists(_ != null)
+
+  override def next(): InternalRow = {
+    var min: InternalRow = null
+    var i = 0
+    while (i < heads.length) {
+      val h = heads(i)
+      if (h != null && (min == null || cmp(h, min) < 0)) min = h
+      i += 1
+    }
+    var winner: InternalRow = null
+    i = 0
+    while (i < heads.length) {
+      val h = heads(i)
+      if (h != null && cmp(h, min) == 0) {
+        if (winner == null || h.getLong(lsnIdx) > winner.getLong(lsnIdx))
+          winner = h
+        val n = if (its(i).hasNext) its(i).next().copy() else null
+        if (n != null && cmp(n, h) <= 0)
+          throw new IllegalStateException(
+            "unsorted or key-duplicated data file in bucket merge — " +
+              "compact the table to restore the sorted-file invariant")
+        heads(i) = n
+      }
+      i += 1
+    }
+    winner
+  }
+}
+
+/** `spark.sql.catalog.<name> = graft.sql.GraftCatalog` with
+  * `spark.sql.catalog.<name>.root = <warehouse dir>`: every ChronicleTable
+  * under the root (nested namespaces = subdirectories) becomes a SQL
+  * table, read-only, with `VERSION AS OF` / `TIMESTAMP AS OF` time travel
+  * mapped to the engine's snapshot versions and [[ChronicleTable.versionAsOf]].
+  */
+class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name needs spark.sql.catalog.$name.root"))
+  }
+
+  override def name(): String = catalogName
+
+  private def chronicle(ident: Identifier): ChronicleTable =
+    new ChronicleTable(((root +: ident.namespace()) :+ ident.name())
+      .mkString("/"))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = java.nio.file.Paths.get((root +: namespace).mkString("/"))
+    if (!java.nio.file.Files.isDirectory(dir)) Array.empty
+    else java.nio.file.Files.list(dir).iterator().asScala
+      .filter(p => java.nio.file.Files.exists(p.resolve("meta")))
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val t = chronicle(ident)
+    if (!t.exists)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        (ident.namespace() :+ ident.name()).toSeq)
+    new GraftTable(t, t.loadCurrent())
+  }
+
+  /** SQL `VERSION AS OF <v>` — the engine's snapshot version. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val t = chronicle(ident)
+    new GraftTable(t, t.loadVersion(version.toLong))
+  }
+
+  /** SQL `TIMESTAMP AS OF <ts>` — micros since epoch per the DSv2
+    * contract; the engine's as-of resolution is milli-grained.
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val t = chronicle(ident)
+    new GraftTable(t, t.loadVersion(t.versionAsOf(timestampMicros / 1000L)))
+  }
+
+  private def readOnly: Nothing = throw new UnsupportedOperationException(
+    "graft catalog is read-only: MERGE/compaction/rescale have CDC " +
+      "semantics SQL DDL/DML cannot express — write through the engine " +
+      "API (graft.ops.MergeInto, graft.cdc.*)")
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): Table = readOnly
+  override def alterTable(ident: Identifier,
+      changes: org.apache.spark.sql.connector.catalog.TableChange*): Table =
+    readOnly
+  override def dropTable(ident: Identifier): Boolean = readOnly
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    readOnly
+}
+
+private[sql] object GraftSql {
+
+  /** (lower, upper) bound extraction from pushed source filters for one
+    * column — the DSv2 mirror of [[graft.table.ChronicleFileIndex]]'s
+    * Catalyst-side rules. Unknown filter shapes are ignored (extra files
+    * are merely scanned, never wrong).
+    */
+  def bounds(filters: Array[sources.Filter], name: String,
+      lit: (Any, Boolean, Boolean) => Option[Any])
+      : Option[(Option[Any], Option[Any])] = {
+    var lo: Option[Any] = None
+    var hi: Option[Any] = None
+    def tightenLo(v: Any, strict: Boolean): Unit =
+      lit(v, true, strict).foreach(x => lo = Some(lo.fold(x)(c => maxOf(c, x))))
+    def tightenHi(v: Any, strict: Boolean): Unit =
+      lit(v, false, strict).foreach(x => hi = Some(hi.fold(x)(c => minOf(c, x))))
+    filters.foreach {
+      case sources.EqualTo(a, v) if a == name =>
+        tightenLo(v, strict = false); tightenHi(v, strict = false)
+      case sources.In(a, vs) if a == name && vs.nonEmpty =>
+        val conv = vs.flatMap(v => lit(v, true, false))
+        if (conv.length == vs.length) {
+          tightenLo(conv.reduce(minOf), strict = false)
+          tightenHi(conv.reduce(maxOf), strict = false)
+        }
+      case sources.GreaterThan(a, v) if a == name => tightenLo(v, strict = true)
+      case sources.GreaterThanOrEqual(a, v) if a == name =>
+        tightenLo(v, strict = false)
+      case sources.LessThan(a, v) if a == name => tightenHi(v, strict = true)
+      case sources.LessThanOrEqual(a, v) if a == name =>
+        tightenHi(v, strict = false)
+      case _ => ()
+    }
+    if (lo.isEmpty && hi.isEmpty) None else Some((lo, hi))
+  }
+
+  /** Distinct equality values for a column (EqualTo or In), for bucket
+    * pruning — None when any other predicate shape also constrains it
+    * is NOT needed: bucket pruning composes with range pruning as an
+    * intersection, so it is sound whenever SOME conjunct pins equality.
+    */
+  def eqValues(filters: Array[sources.Filter], name: String): Option[Set[String]] = {
+    val sets = filters.collect {
+      case sources.EqualTo(a, v: String) if a == name => Set(v)
+      case sources.In(a, vs) if a == name && vs.nonEmpty &&
+        vs.forall(_.isInstanceOf[String]) => vs.map(_.asInstanceOf[String]).toSet
+    }
+    if (sets.isEmpty) None else Some(sets.reduce(_ intersect _))
+  }
+
+  def asKey(v: Any, isLower: Boolean, strict: Boolean): Option[Any] = v match {
+    // strings can't tighten a strict bound by one unit; inclusive is sound
+    case s: String => Some(s)
+    case _ => None
+  }
+
+  /** Filter timestamp values arrive as java.sql.Timestamp or
+    * java.time.Instant depending on the session's java8API conf; the
+    * manifest stores millis. Strict bounds tighten by one MICRO before
+    * flooring (micros are the physical grain).
+    */
+  def asTsMillis(v: Any, isLower: Boolean, strict: Boolean): Option[Any] = {
+    val micros: Option[Long] = v match {
+      case t: java.sql.Timestamp =>
+        Some(Math.multiplyExact(t.getTime, 1000L) + (t.getNanos / 1000) % 1000)
+      case i: java.time.Instant =>
+        Some(Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+          i.getNano / 1000L))
+      case _ => None
+    }
+    micros.map { m =>
+      val adj = if (!strict) m else if (isLower) m + 1L else m - 1L
+      Math.floorDiv(adj, 1000L)
+    }
+  }
+
+  def asLsn(v: Any, isLower: Boolean, strict: Boolean): Option[Any] = v match {
+    case n: java.lang.Long =>
+      Some(if (!strict) n.longValue else if (isLower) n + 1L else n - 1L)
+    case n: java.lang.Integer =>
+      Some(if (!strict) n.longValue else if (isLower) n + 1L else n - 1L)
+    case _ => None
+  }
+
+  private def maxOf(a: Any, b: Any): Any = (a, b) match {
+    case (x: String, y: String) => if (x >= y) x else y
+    case (x: Long, y: Long) => math.max(x, y)
+    case _ => a
+  }
+
+  private def minOf(a: Any, b: Any): Any = (a, b) match {
+    case (x: String, y: String) => if (x <= y) x else y
+    case (x: Long, y: Long) => math.min(x, y)
+    case _ => a
+  }
+}

@@ -98,6 +98,122 @@ class FileIndexSpec extends SparkSpec {
     assert(q.collect().map(_.getString(0)).toSeq == Seq("conv-2-003"))
   }
 
+  import org.apache.spark.sql.types.StructType
+
+  /** DSv2 scan introspection: the partitions a catalog/format("graft")
+    * read planned (file paths + merge flags) and its pruned read schema.
+    */
+  private def dsv2Scan(df: DataFrame): (Seq[graft.sql.GraftPartition], StructType) = {
+    df.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val scans = unwrap(df.queryExecution.executedPlan)
+      .collect { case b: BatchScanExec => b }
+    assert(scans.size == 1, s"expected one v2 scan, got ${scans.size}")
+    (scans.head.batch.planInputPartitions()
+      .map(_.asInstanceOf[graft.sql.GraftPartition]).toSeq,
+      scans.head.scan.readSchema())
+  }
+  private def dsv2FileCount(df: DataFrame): Long =
+    dsv2Scan(df)._1.flatMap(_.files.map(_._1)).distinct.size.toLong
+
+  test("graft catalog: SQL reads plan through manifest+bucket pruning, prune columns, and time travel") {
+    val t = daysTable
+    val root = java.nio.file.Paths.get(t.root)
+    spark.conf.set("spark.sql.catalog.graft_fidx", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_fidx.root", root.getParent.toString)
+    val name = root.getFileName.toString
+    val files = t.filesOf(t.loadCurrent())
+
+    // full read sees everything, visible rows only
+    val full = spark.sql(s"SELECT * FROM graft_fidx.`$name`")
+    assert(dsv2FileCount(full) == files.size.toLong)
+    assert(full.count() == 30L)
+
+    // key equality prunes at the manifest during planning AND prunes the
+    // read schema to the projection + what the scan itself needs
+    val k = "conv-2-003"
+    val keyFiles = files.count(f => f.minKey <= k && f.maxKey >= k).toLong
+    assert(keyFiles < files.size)
+    val q = spark.sql(
+      s"SELECT conv_id, text FROM graft_fidx.`$name` WHERE conv_id = '$k'")
+    val (parts, readSchema) = dsv2Scan(q)
+    assert(parts.flatMap(_.files.map(_._1)).distinct.size.toLong == keyFiles,
+      s"SQL key filter must plan $keyFiles files")
+    assert(q.collect().map(_.getString(0)).toSeq == Seq(k))
+    assert(!readSchema.fieldNames.contains("role") &&
+      !readSchema.fieldNames.contains("ts"),
+      s"projection must prune the read schema, got $readSchema")
+
+    // lsn lower bound prunes like the changelog rule
+    val lsnFiles = files.count(_.maxLsn > 199L).toLong
+    assert(lsnFiles < files.size)
+    val byLsn = spark.sql(
+      s"SELECT conv_id FROM graft_fidx.`$name` WHERE _lsn > 199")
+    assert(dsv2FileCount(byLsn) == lsnFiles)
+    assert(byLsn.count() == 10L)
+
+    // snapshot time travel straight from SQL
+    val v1 = spark.sql(
+      s"SELECT count(*) FROM graft_fidx.`$name` VERSION AS OF 1")
+      .collect()(0).getLong(0)
+    assert(v1 == 10L)
+
+    // the path-based form plans identically
+    val byPath = spark.read.format("graft").load(t.root)
+      .filter(col("conv_id") === k).select("conv_id", "text")
+    assert(dsv2FileCount(byPath) == keyFiles)
+    assert(byPath.collect().map(_.getString(0)).toSeq == Seq(k))
+  }
+
+  test("graft catalog: MOR buckets LWW-merge through the streaming sorted file merge") {
+    val p = new CdcPipeline(PipelineConfig("", tmpDir("fidx-cat-mor"), numBuckets = 4))
+    p.ensureTable()
+    def b(lo: Long, op: String, turns: Range) = (0 until 16).flatMap { c =>
+      turns.map { tn =>
+        (lo + c * turns.size + tn, op, s"c-$c", tn, "user",
+          s"text $lo c-$c/$tn", None: Option[String],
+          new java.sql.Timestamp(1704067200000L + lo * 1000L))
+      }
+    }.toDF("lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+    MergeInto(spark, p.table, b(0L, "I", 0 until 4), "m#0", "t", mergeOnRead = true)
+    // same keys, higher lsn, new text: the deltas DISPLACE the base rows
+    MergeInto(spark, p.table, b(1000L, "U", 0 until 4), "m#1", "t", mergeOnRead = true)
+    // and turn 0 of every conversation is tombstoned
+    MergeInto(spark, p.table, b(2000L, "D", 0 until 1), "m#2", "t", mergeOnRead = true)
+
+    val df = spark.read.format("graft").load(p.table.root)
+      .select("conv_id", "turn_idx", "text")
+    val (parts, _) = dsv2Scan(df)
+    // every bucket carries deltas: one MERGING partition per bucket
+    assert(parts.nonEmpty && parts.forall(_.merge))
+    assert(parts.size == 4, s"one merged partition per bucket, got ${parts.size}")
+
+    val got = df.collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    val expect = (0 until 16).flatMap { c =>
+      (1 until 4).map(tn => (s"c-$c", tn, s"text 1000 c-$c/$tn"))
+    }.toSet
+    assert(got == expect, "catalog MOR read must serve the LWW-visible state")
+    // and it equals the library read path exactly
+    val lib = p.table.read(spark)
+      .filter(!col(graft.model.Model.deletedColumn))
+      .select("conv_id", "turn_idx", "text")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(got == lib)
+
+    // a key filter prunes to the key's single hash bucket
+    val one = spark.read.format("graft").load(p.table.root)
+      .filter(col("conv_id") === "c-3").select("turn_idx", "text")
+    val (oneParts, _) = dsv2Scan(one)
+    assert(oneParts.size == 1, s"point lookup must plan one bucket, got ${oneParts.size}")
+    assert(one.collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3))
+  }
+
   test("a key filter pushes through the merge-on-read LWW window and prunes") {
     val p = new CdcPipeline(PipelineConfig("", tmpDir("fidx-mor"), numBuckets = 4))
     p.ensureTable()
