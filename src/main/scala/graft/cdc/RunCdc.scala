@@ -266,7 +266,11 @@ object RunCdc {
       val polls = Chain.drain(spark, src, dst, nb,
         mergeOnRead = sys.env.get("GRAFT_MOR").contains("1"),
         maintainEveryPolls =
-          sys.env.getOrElse("GRAFT_CHAIN_MAINTAIN", "0").toInt)
+          sys.env.getOrElse("GRAFT_CHAIN_MAINTAIN", "0").toInt,
+        // chunked-bootstrap slice budget (bytes); tiny values force many
+        // slices for drills — see Chain.pollOnce
+        bootstrapSliceBytes = sys.env.getOrElse("GRAFT_BOOTSTRAP_SLICE_BYTES",
+          Chain.DefaultBootstrapSliceBytes.toString).toLong)
       val snap = dst.loadCurrent()
       println(s"chained $polls polls; downstream v${snap.version} " +
         s"rows=${snap.totalRows} cursor=${snap.cursors(Chain.cursorKey(args(1)))}")
@@ -330,6 +334,15 @@ object RunCdc {
       println(s"status server on :${srv.getAddress.getPort} " +
         s"(/healthcheck, /stats) for ${args(1)} — ctrl-c to stop")
       Thread.currentThread().join()
+
+    // sql <warehouseRoot> <query>: ad-hoc SQL over every ChronicleTable
+    // under the root via the read-only catalog (graft.sql.GraftCatalog,
+    // registered as `g`). Example:
+    //   sql /warehouse "SELECT count(*) FROM g.mytable VERSION AS OF 3"
+    case "sql" =>
+      spark.conf.set("spark.sql.catalog.g", "graft.sql.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.g.root", args(1))
+      spark.sql(args(2)).show(100, truncate = false)
 
     case other => sys.error(s"unknown subcommand: $other")
   }
