@@ -335,6 +335,22 @@ object RunCdc {
         s"(/healthcheck, /stats) for ${args(1)} — ctrl-c to stop")
       Thread.currentThread().join()
 
+    // multisource <sourcesJsonFile> <tableRoot> [spb] [buckets]: N binlog
+    // sources -> ONE table, the source set re-read from the file each
+    // drain cycle (the reference's InputManager.set hot add/remove —
+    // InputManager.java:36-56). Edit the file between (or during) runs to
+    // add/remove sources; cursors and marks stay per source.
+    case "multisource" =>
+      val p = new MultiSourcePipeline(args(2), args(1),
+        segmentsPerBatch = if (args.length > 3) args(3).toInt else 4,
+        numBuckets = if (args.length > 4) args(4).toInt else 16,
+        mergeOnRead = sys.env.get("GRAFT_MOR").contains("1"))
+      val n = p.runAll(spark)
+      val snap = p.table.loadCurrent()
+      println(s"multisource applied $n batches from " +
+        s"${p.currentSources().map(_._1).mkString(",")}; snapshot " +
+        s"v${snap.version} rows=${snap.totalRows} cursors=${snap.cursors}")
+
     // sql <warehouseRoot> <query>: ad-hoc SQL over every ChronicleTable
     // under the root via the read-only catalog (graft.sql.GraftCatalog,
     // registered as `g`). Example:
