@@ -351,6 +351,21 @@ object RunCdc {
         s"${p.currentSources().map(_._1).mkString(",")}; snapshot " +
         s"v${snap.version} rows=${snap.totalRows} cursors=${snap.cursors}")
 
+    // sigindex <docsTableRoot> <indexRoot> [buckets]: advance the
+    // engine-maintained MinHash/LSH signature index (sig + band
+    // ChronicleTables under <indexRoot>/{sigs,bands}) to the document
+    // table's current version via its changelog — exactly-once, rerun
+    // prints "0 polls" when caught up
+    case "sigindex" =>
+      val docs = new graft.table.ChronicleTable(args(1))
+      val sigs = new graft.table.ChronicleTable(s"${args(2)}/sigs")
+      val bands = new graft.table.ChronicleTable(s"${args(2)}/bands")
+      val nb = if (args.length > 3) args(3).toInt else 16
+      val polls = graft.dedup.SignatureIndex.update(spark, docs, sigs, bands, nb)
+      println(s"sigindex applied $polls polls; sigs v${sigs.loadCurrent().version} " +
+        s"rows=${sigs.loadCurrent().totalRows}, bands " +
+        s"v${bands.loadCurrent().version} rows=${bands.loadCurrent().totalRows}")
+
     // sql <warehouseRoot> <query>: ad-hoc SQL over every ChronicleTable
     // under the root via the read-only catalog (graft.sql.GraftCatalog,
     // registered as `g`). Example:

@@ -26,11 +26,17 @@ import org.apache.spark.sql.types._
   *   - band table: conv_id = doc id, turn_idx = band (0..3), payload
   *     `bandsig: string`.
   *
-  * Documents are single-row (`turn_idx = 0`) entries of the source table,
-  * keyed by conv_id, with the text in `text`. Per changed document the
+  * The unit of dedup is the source ROW: doc id = `<conv_id>#<turn_idx>`
+  * (injective — the suffix is the single appended `#<int>`), text from
+  * the row's `text`. This matches the changelog's granularity exactly —
+  * a one-turn update or delete re-signs or tombstones ONE document, never
+  * a whole conversation whose other turns the batch does not carry.
+  * Single-row corpora (documents stored at turn 0) get per-document
+  * semantics for free; conversation-level dedup runs the same machinery
+  * over an exported conversation-concatenated table. Per changed row the
   * transform emits its FULL key grid (all 16 perms / 4 bands): entries a
   * new text no longer produces (too short to shingle after an update, or
-  * the document was deleted) become tombstones, so the index carries no
+  * the row was deleted) become tombstones, so the index carries no
   * stale signatures. Deletions reach the index only where the document
   * table's changelog carries them (merge-on-read upstream — the standard
   * chain delete-propagation contract).
@@ -71,13 +77,15 @@ object SignatureIndex {
 
   /** The signature index as a [[DocDedup.sigTable]]-shaped frame
     * (doc_id, perm, minhash) — current version, or a pinned snapshot.
+    * Document ids are the source table's conv_id STRINGS (the index never
+    * assumes numeric ids; pair ordering downstream is lexicographic).
     */
   def sigView(spark: SparkSession, sigs: ChronicleTable,
       version: Long = -1L): DataFrame = {
     val snap = if (version < 0) sigs.loadCurrent() else sigs.loadVersion(version)
     sigs.read(spark, snap)
       .filter(!col(Model.deletedColumn))
-      .select(col("conv_id").cast("long").as("doc_id"),
+      .select(col("conv_id").as("doc_id"),
         col("turn_idx").cast("long").as("perm"), col("minhash"))
   }
 
@@ -87,7 +95,7 @@ object SignatureIndex {
   def bandView(spark: SparkSession, bands: ChronicleTable): DataFrame =
     bands.read(spark)
       .filter(!col(Model.deletedColumn))
-      .select(col("conv_id").cast("long").as("doc_id"),
+      .select(col("conv_id").as("doc_id"),
         col("turn_idx").cast("int").as("band"), col("bandsig"))
 
   /** Near-dup pairs introduced by everything the DOCUMENT table committed
@@ -104,7 +112,7 @@ object SignatureIndex {
       bands: ChronicleTable, sigsVersionBefore: Long): DataFrame = {
     val newSigs = sigs.readChanges(spark, sigsVersionBefore)
       .filter(!col(Model.deletedColumn))
-      .select(col("conv_id").cast("long").as("doc_id"),
+      .select(col("conv_id").as("doc_id"),
         col("turn_idx").cast("long").as("perm"), col("minhash"))
     // index side WITHOUT the batch docs: updated docs' current sigs ride
     // `newSigs`; leaving their rows on both sides would double every
@@ -140,19 +148,23 @@ object SignatureIndex {
     */
   private def gridEvents(changes: DataFrame, units: Int,
       derive: DataFrame => DataFrame, payloadSchema: StructType): DataFrame = {
-    val docCols = Seq(col("conv_id").cast("long").as("doc_id"),
+    // doc id = "<conv_id>#<turn_idx>" — the ROW identity as a string (the
+    // index keys any table, numeric ids or not, at the changelog's own
+    // row granularity)
+    val docId = concat(col("conv_id"), lit("#"), col("turn_idx"))
+    val docCols = Seq(docId.as("doc_id"),
       col(Model.lsnColumn), col(Model.sourceColumn))
     val grid = changes
       .select(docCols :+ col(Model.deletedColumn).as("__dead"): _*)
       .withColumn("unit", explode(sequence(lit(0), lit(units - 1))))
     val live = changes.filter(!col(Model.deletedColumn))
-      .select(col("conv_id").cast("long").as("doc_id"), col("text"))
+      .select(docId.as("doc_id"), col("text"))
     val derived = derive(live)
     val joined = grid.join(derived, Seq("doc_id", "unit"), "left")
     val payloadCols = payloadSchema.fields.toSeq.map(f =>
       col("payload").getField(f.name).as(f.name))
     joined.select(
-      Seq(col("doc_id").cast("string").as("conv_id"),
+      Seq(col("doc_id").as("conv_id"),
         col("unit").cast("int").as("turn_idx")) ++
       payloadCols ++
       Seq(col(Model.lsnColumn),

@@ -83,7 +83,7 @@ private[graft] class GraftTable(val table: ChronicleTable,
     new GraftScanBuilder(table, snapshot)
 }
 
-private[sql] class GraftScanBuilder(table: ChronicleTable, snap: Snapshot)
+private[graft] class GraftScanBuilder(table: ChronicleTable, snap: Snapshot)
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns {
 
@@ -108,9 +108,10 @@ private[sql] class GraftScanBuilder(table: ChronicleTable, snap: Snapshot)
   override def build(): Scan = new GraftScan(table, snap, pushed, required)
 }
 
-private[sql] class GraftScan(table: ChronicleTable, snap: Snapshot,
+private[graft] class GraftScan(table: ChronicleTable, snap: Snapshot,
     pushed: Array[sources.Filter], required: StructType)
-  extends Scan with Batch with SupportsReportStatistics {
+  extends Scan with Batch with SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   import GraftSql._
 
@@ -120,14 +121,41 @@ private[sql] class GraftScan(table: ChronicleTable, snap: Snapshot,
     s"graft(${table.root}@v${snap.version}) " +
       s"pushed=[${pushed.mkString(",")}]"
 
-  /** Manifest-pruned file set (computed once per scan, driver-side). */
-  private lazy val files: Seq[DataFileMeta] = {
-    val keyB = bounds(pushed, "conv_id", asKey)
-    val tsB = bounds(pushed, "ts", asTsMillis)
-    val lsnB = bounds(pushed, Model.lsnColumn, asLsn)
+  /** Runtime (join-driven) filters on the table key: a broadcast join
+    * against a small dimension hands the scan the dim's conv_id set at
+    * EXECUTION time (Spark's DPP-style v2 runtime filtering), and the
+    * scan re-prunes its file set by hash bucket + key range before any
+    * partition runs — at 100 TB the difference between scanning the
+    * joined conversations' buckets and scanning the table.
+    */
+  @volatile private var runtime: Array[sources.Filter] = Array.empty
+  @volatile private var filesMemo: Seq[DataFileMeta] = null
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("conv_id"))
+
+  override def filter(filters: Array[sources.Filter]): Unit = {
+    val tableCols = snap.schema.fieldNames.toSet
+    runtime = filters.filter(_.references.forall(tableCols.contains))
+    filesMemo = null // re-prune with the runtime predicates folded in
+  }
+
+  /** Manifest-pruned file set (re-computed when runtime filters land). */
+  private def files: Seq[DataFileMeta] = {
+    val memo = filesMemo
+    if (memo != null) return memo
+    val computed = pruneFiles(pushed ++ runtime)
+    filesMemo = computed
+    computed
+  }
+
+  private def pruneFiles(preds: Array[sources.Filter]): Seq[DataFileMeta] = {
+    val keyB = bounds(preds, "conv_id", asKey)
+    val tsB = bounds(preds, "ts", asTsMillis)
+    val lsnB = bounds(preds, Model.lsnColumn, asLsn)
     // conv_id EQUALITY additionally prunes by hash bucket — the readKey
     // point-lookup plan, now reachable from SQL
-    val buckets: Option[Set[Int]] = eqValues(pushed, "conv_id").map(vs =>
+    val buckets: Option[Set[Int]] = eqValues(preds, "conv_id").map(vs =>
       vs.map(v => ChronicleTable.bucketOf(v, snap.numBuckets)))
     table.filesOf(snap).filter { f =>
       val bucketOk = buckets.forall(_.contains(f.bucket))

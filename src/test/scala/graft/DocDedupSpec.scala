@@ -135,7 +135,8 @@ class DocDedupSpec extends SparkSpec {
     // the per-batch incremental pairs accumulate
     val inserts = Seq(Seq(3L -> "I", 4L -> "I"), Seq(0L -> "I", 1L -> "I"),
       Seq(2L -> "I"))
-    val acc = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    // index doc ids are row ids "<conv>#<turn>" — here "<id>#0"
+    val acc = scala.collection.mutable.Map.empty[(String, String), Long]
     inserts.zipWithIndex.foreach { case (evs, i) =>
       MergeInto(spark, docsT, batch(evs), s"docs#$i", "spec",
         mergeOnRead = true)
@@ -143,14 +144,15 @@ class DocDedupSpec extends SparkSpec {
       SignatureIndex.update(spark, docsT, sigsT, bandsT, numBuckets = 4)
       SignatureIndex.incrementalPairs(spark, sigsT, bandsT, vBefore)
         .collect().foreach(r =>
-          acc((r.getLong(0), r.getLong(1))) = r.getLong(2))
+          acc((r.getString(0), r.getString(1))) = r.getLong(2))
     }
     // exactly-once: a re-run with nothing new applies nothing
     assert(SignatureIndex.update(spark, docsT, sigsT, bandsT, 4) == 0)
 
     // union-of-batches ≡ full-batch lshPairs over the final corpus
     val full = DocDedup.lshPairs(spark, dir).collect()
-      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      .map(r => ((s"${r.getLong(0)}#0", s"${r.getLong(1)}#0"), r.getLong(2)))
+      .toMap
     assert(acc.toMap == full,
       s"incremental union ${acc.toMap} != full $full")
 
@@ -165,16 +167,17 @@ class DocDedupSpec extends SparkSpec {
       "docs#3", "spec", mergeOnRead = true)
     SignatureIndex.update(spark, docsT, sigsT, bandsT, numBuckets = 4)
     val curDocs = docsT.read(spark).filter(!col(Model.deletedColumn))
-      .select(col("conv_id").cast("long").as("doc_id"), col("text"))
+      .select(concat(col("conv_id"), lit("#"), col("turn_idx")).as("doc_id"),
+        col("text"))
     val expect = DocDedup.sigTableOf(curDocs).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     val got = SignatureIndex.sigView(spark, sigsT).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == expect, "maintained sig index drifted from the corpus")
     val expectBands = DocDedup.bandSigs(DocDedup.sigTableOf(curDocs))
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
     val gotBands = SignatureIndex.bandView(spark, bandsT).collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
     assert(gotBands == expectBands, "maintained band index drifted")
   }
 

@@ -212,6 +212,26 @@ class FileIndexSpec extends SparkSpec {
     val (oneParts, _) = dsv2Scan(one)
     assert(oneParts.size == 1, s"point lookup must plan one bucket, got ${oneParts.size}")
     assert(one.collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3))
+
+    // RUNTIME filtering (the DPP-style v2 hook a broadcast join drives):
+    // an In-set landing at execution time re-prunes the plan to the named
+    // keys' buckets — and a join against a small key dim stays correct
+    val snap = p.table.loadCurrent()
+    val scan = new graft.sql.GraftScanBuilder(p.table, snap).build()
+      .asInstanceOf[graft.sql.GraftScan]
+    val before = scan.planInputPartitions().length
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("conv_id", Array("c-3", "c-5"))))
+    val after = scan.planInputPartitions().length
+    assert(after < before && after <= 2,
+      s"runtime In-set must prune to its keys' buckets ($before -> $after)")
+    import spark.implicits._
+    val dim = Seq("c-3", "c-5").toDF("conv_id")
+    val joined = spark.read.format("graft").load(p.table.root)
+      .join(broadcast(dim), "conv_id")
+      .select("conv_id", "turn_idx").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(joined == Set("c-3", "c-5").flatMap(c => (1 until 4).map(c -> _)))
   }
 
   test("a key filter pushes through the merge-on-read LWW window and prunes") {
