@@ -259,19 +259,22 @@ object Chain {
 
   /** Bootstrap slice count for an upstream snapshot: bytes-driven, capped
     * by version-unit tiling (at most version+1 slice keys can tile the
-    * unit space) and by the lsn width (more slices than distinct lsns is
-    * pointless); 1 when the manifests carry no lsn bounds (no slicing
-    * axis — pre-upgrade tables).
+    * unit space), by the FILE count (a file is the atomic scan unit —
+    * finer slicing just multiplies near-empty merges) and by the lsn
+    * width; 1 when the manifests carry no lsn bounds (no slicing axis —
+    * pre-upgrade tables).
     */
   private def bootstrapSliceCount(src: ChronicleTable,
       cur: graft.table.Snapshot, sliceBytes: Long): Int = {
     if (sliceBytes <= 0L) return 1
     val (gMin, gMax) = src.lsnBounds(cur)
     if (gMin < 0L || gMax <= gMin) return 1
-    val bytes = src.filesOf(cur).map(_.bytes.max(0L)).sum
+    val files = src.filesOf(cur)
+    val bytes = files.map(_.bytes.max(0L)).sum
     val wanted = 1L + (bytes - 1L).max(0L) / sliceBytes
     math.min(math.min(wanted, cur.version + 1),
-      math.min(gMax - gMin + 1, Int.MaxValue.toLong)).toInt.max(1)
+      math.min(files.size.toLong.max(1L),
+        math.min(gMax - gMin + 1, Int.MaxValue.toLong))).toInt.max(1)
   }
 
   /** Poll until caught up (each poll sees the version the previous one

@@ -306,7 +306,9 @@ object RunCdc {
       val maxV = if (args.length > 5) args(5).toLong else Long.MaxValue
       val q = Chain.followStream(spark, src, dst, nb, interval,
         mergeOnRead = sys.env.get("GRAFT_MOR").contains("1"),
-        maxVersionsPerTrigger = maxV)
+        maxVersionsPerTrigger = maxV,
+        bootstrapSliceBytes = sys.env.getOrElse("GRAFT_BOOTSTRAP_SLICE_BYTES",
+          Chain.DefaultBootstrapSliceBytes.toString).toLong)
       println(s"stream-following ${args(1)} -> ${args(2)} every " +
         s"${interval}ms (query ${q.name}); Ctrl-C to stop")
       q.awaitTermination()
@@ -320,7 +322,9 @@ object RunCdc {
       val dst = new graft.table.ChronicleTable(args(2))
       val nb = if (args.length > 3) args(3).toInt else 16
       Chain.syncStream(spark, src, dst, nb,
-        mergeOnRead = sys.env.get("GRAFT_MOR").contains("1"))
+        mergeOnRead = sys.env.get("GRAFT_MOR").contains("1"),
+        bootstrapSliceBytes = sys.env.getOrElse("GRAFT_BOOTSTRAP_SLICE_BYTES",
+          Chain.DefaultBootstrapSliceBytes.toString).toLong)
       val snap = dst.loadCurrent()
       println(s"synced ${args(1)} -> ${args(2)}; downstream v${snap.version} " +
         s"rows=${snap.totalRows}")

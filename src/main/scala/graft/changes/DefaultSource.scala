@@ -277,9 +277,15 @@ private[changes] class ChangesMicroBatchStream(schema0: StructType,
           if (gMin < 0L || gMax <= gMin) 1
           else if (bootstrapSlicesOverride > 0) bootstrapSlicesOverride
           else {
-            val bytes = table.filesOf(cur).map(_.bytes.max(0L)).sum
+            val files = table.filesOf(cur)
+            val bytes = files.map(_.bytes.max(0L)).sum
             val wanted = 1L + (bytes - 1L).max(0L) / bootstrapSliceBytes
-            math.min(wanted, math.min(gMax - gMin + 1, Int.MaxValue.toLong))
+            // slices finer than one FILE cannot reduce any batch's IO
+            // further (a file is the atomic scan unit) — cap there, so a
+            // pathological byte budget can't plan thousands of
+            // near-empty micro-batches
+            math.min(math.min(wanted, files.size.toLong.max(1L)),
+                math.min(gMax - gMin + 1, Int.MaxValue.toLong))
               .toInt.max(1)
           }
         VersionOffset(cur.version, slice = -1, slices = k,
