@@ -212,20 +212,25 @@ object DocDedup {
     val ib = indexBands.getOrElse(bandSigs(indexSigs))
       .unionByName(nbands) // new-new pairs surface in the same join
       .select(col("doc_id").as("m"), col("band"), col("bandsig"))
-    // new-vs-(index ∪ new): one bucket join keyed on the band signature;
-    // the batch side is the small side (broadcastable when tiny)
-    val cand = nb.join(ib, Seq("band", "bandsig"))
+    // new-vs-(index ∪ new): one bucket join keyed on the band signature.
+    // The batch side is BROADCAST by contract: `newSigs` is one
+    // admission-controlled micro-batch (the op's whole point is per-batch
+    // incrementality — a corpus-sized backfill belongs in `lshPairs`), so
+    // the hint pins the plan the 100 TB shape needs: the banded INDEX is
+    // map-side streamed, never shuffled, at any corpus size.
+    val cand = broadcast(nb).join(ib, Seq("band", "bandsig"))
       .filter(col("n") =!= col("m"))
       .select(least(col("n"), col("m")).as("a"),
         greatest(col("n"), col("m")).as("b"))
       .distinct()
     // verify against ONLY the candidate docs' signatures: the candidate
-    // id set is batch-derived (small), so the semi-join broadcasts and
-    // the corpus sig scan never shuffles
+    // id set is batch-derived (bounded by the batch's bucket matches), so
+    // it broadcasts too and the corpus sig scan is a map-side semi-join —
+    // again no corpus shuffle
     val ids = cand.select(col("a").as("doc_id"))
       .unionByName(cand.select(col("b").as("doc_id"))).distinct()
     val candSigs = indexSigs.unionByName(newSigs)
-      .join(ids, Seq("doc_id"), "left_semi")
+      .join(broadcast(ids), Seq("doc_id"), "left_semi")
     verifyPairs(cand, candSigs)
   }
 
