@@ -126,10 +126,31 @@ class CdcPipeline(val cfg: PipelineConfig) {
     math.max(fromKeys, snap.floors.getOrElse(cfg.sourceId, -1L).toInt)
   }
 
+  /** A segment published by the network intake ([[IngestServer]]) is
+    * row-oriented JSONL; generator/file segments are parquet. Detected per
+    * segment so one source can mix both (e.g. a bulk parquet backfill
+    * followed by live network intake).
+    */
+  private def isJsonlSegment(segment: String): Boolean = {
+    val d = Paths.get(cfg.sourceDir, segment)
+    Files.exists(d) && {
+      val s = Files.list(d)
+      try s.iterator().asScala.exists(_.getFileName.toString.endsWith(".jsonl"))
+      finally s.close()
+    }
+  }
+
   def readBatch(spark: SparkSession, segments: Seq[String]): DataFrame = {
-    val paths = segments.map(s => s"${cfg.sourceDir}/$s")
-    spark.read.schema(Model.changeSchema).parquet(paths: _*)
-      .select(MergeInto.changeColumns: _*)
+    val (jsonSegs, parqSegs) = segments.partition(isJsonlSegment)
+    def paths(segs: Seq[String]) = segs.map(s => s"${cfg.sourceDir}/$s")
+    val frames =
+      (if (parqSegs.nonEmpty)
+        Seq(spark.read.schema(Model.changeSchema).parquet(paths(parqSegs): _*))
+      else Nil) ++
+      (if (jsonSegs.nonEmpty)
+        Seq(spark.read.schema(Model.changeSchema).json(paths(jsonSegs): _*))
+      else Nil)
+    frames.map(_.select(MergeInto.changeColumns: _*)).reduce(_ unionAll _)
   }
 
   // Null-safe validation split: a NULL predicate must land a row in
@@ -448,10 +469,19 @@ class CdcPipeline(val cfg: PipelineConfig) {
       listenerAdded = true
       spark.streams.addListener(new Metrics.EpochListener(queryName, metricsDir))
     }
-    val stream = spark.readStream
+    // Two file sources over the same segment glob, split by extension:
+    // parquet from the generator/bulk path, JSONL from the network intake
+    // ([[IngestServer]]). Each source checkpoints its own offsets;
+    // maxFilesPerTrigger applies per source. The union is safe because the
+    // downstream MERGE is order-independent (per-key LSN guard +
+    // tombstones — see the foreachBatch note below).
+    def sourceStream(ext: String) = spark.readStream
       .schema(Model.changeSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(s"${cfg.sourceDir}/segment=*")
+      .option("pathGlobFilter", s"*.$ext")
+    val glob = s"${cfg.sourceDir}/segment=*"
+    val stream = sourceStream("parquet").parquet(glob)
+      .unionAll(sourceStream("jsonl").json(glob))
       .select(MergeInto.changeColumns: _*)
     stream.writeStream
       .queryName(queryName)

@@ -339,6 +339,25 @@ object RunCdc {
         s"(/healthcheck, /stats) for ${args(1)} — ctrl-c to stop")
       Thread.currentThread().join()
 
+    // ingest <sourceDir> <port> [segmentEvents] [tableRoot] [maxPending]
+    // [minFreeBytes]:
+    // network intake in front of a binlog dir (POST /ingest JSON-lines with
+    // X-Graft-Crc32; /roll; /ingeststat) — the reference's Thrift ingest
+    // endpoint on loopback HTTP (ThriftServer.java:62-104). Pair with a
+    // `run`/`stream` drain tailing the same dir.
+    case "ingest" =>
+      val srv = IngestServer.start(IngestConfig(
+        sourceDir = args(1),
+        segmentEvents = if (args.length > 3) args(3).toLong else 1000L,
+        tableRoot = if (args.length > 4) Some(args(4)) else None,
+        maxPendingSegments = if (args.length > 5) args(5).toInt else 0,
+        minFreeBytes = if (args.length > 6) args(6).toLong else 0L),
+        args(2).toInt)
+      println(s"ingest server on :${srv.port} (/ingest, /roll, " +
+        s"/ingeststat) -> ${args(1)} — ctrl-c to stop")
+      sys.addShutdownHook(srv.stop())
+      Thread.currentThread().join()
+
     // multisource <sourcesJsonFile> <tableRoot> [spb] [buckets]: N binlog
     // sources -> ONE table, the source set re-read from the file each
     // drain cycle (the reference's InputManager.set hot add/remove —
