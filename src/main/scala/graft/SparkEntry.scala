@@ -66,6 +66,9 @@ object SparkEntry {
     "cdc_incremental" -> ((s, d) => CdcQueries.incrementalChanges(s, d)),
     "cdc_point_lookup" -> ((s, d) => CdcQueries.pointLookup(s, d)),
     "cdc_sql_catalog" -> ((s, d) => CdcQueries.sqlCatalogLookup(s, d)),
+    // the same replay driven entirely by SQL DML (CREATE TABLE + one
+    // INSERT INTO … SELECT of change rows) — shares finalState's oracle
+    "cdc_sql_insert" -> ((s, d) => CdcQueries.sqlInsertState(s, d)),
     "cdc_scd2" -> ((s, d) => CdcQueries.scd2(s, d)),
     "cdc_hwm_anti" -> ((s, d) => CdcQueries.hwmAntiJoin(s, d)),
     "cdc_route_dsl" -> ((s, d) => CdcQueries.routeDsl(s, d)),
@@ -148,6 +151,12 @@ object SparkEntry {
          |FROM d WHERE rn = 1 AND op <> 'D' ORDER BY conv_id, turn_idx""".stripMargin,
 
     "cdc_final_state_mor" ->
+      s"""WITH ch AS ($changesSql),
+         |d AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn FROM ch)
+         |SELECT conv_id, turn_idx, role, text, tool, ts_ms
+         |FROM d WHERE rn = 1 AND op <> 'D' ORDER BY conv_id, turn_idx""".stripMargin,
+
+    "cdc_sql_insert" ->
       s"""WITH ch AS ($changesSql),
          |d AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn FROM ch)
          |SELECT conv_id, turn_idx, role, text, tool, ts_ms

@@ -389,10 +389,12 @@ object RunCdc {
         s"rows=${sigs.loadCurrent().totalRows}, bands " +
         s"v${bands.loadCurrent().version} rows=${bands.loadCurrent().totalRows}")
 
-    // sql <warehouseRoot> <query>: ad-hoc SQL over every ChronicleTable
-    // under the root via the read-only catalog (graft.sql.GraftCatalog,
-    // registered as `g`). Example:
+    // sql <warehouseRoot> <statement>: ad-hoc SQL over every ChronicleTable
+    // under the root via the graft catalog (graft.sql.GraftCatalog,
+    // registered as `g`) — SELECT with time travel, CREATE TABLE,
+    // INSERT INTO of change rows, and CALL maintenance procedures:
     //   sql /warehouse "SELECT count(*) FROM g.mytable VERSION AS OF 3"
+    //   sql /warehouse "CALL g.compact(table => 'mytable')"
     case "sql" =>
       spark.conf.set("spark.sql.catalog.g", "graft.sql.GraftCatalog")
       spark.conf.set("spark.sql.catalog.g.root", args(1))

@@ -199,6 +199,39 @@ object CdcQueries {
          |ORDER BY turn_idx""".stripMargin)
   }
 
+  /** Full replay through the SQL DML surface: CREATE TABLE on the graft
+    * catalog, then the whole change stream applies as ONE
+    * `INSERT INTO … SELECT` of change rows (explicit `_lsn`, `_deleted`
+    * from op) — per-key LWW inside the statement, tombstones hidden by the
+    * read ([[graft.sql.GraftWriteBuilder]]). Shares [[finalState]]'s
+    * oracle: the write surface (SQL DML vs library MERGE) must not change
+    * the replayed state.
+    */
+  def sqlInsertState(spark: SparkSession, dir: String): DataFrame = {
+    val root = replayCache.getOrElseUpdate((s"$dir#sqldml", 1), {
+      val r = java.nio.file.Files.createTempDirectory("graft-sqldml").toString
+      spark.conf.set("spark.sql.catalog.graft_dml", "graft.sql.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graft_dml.root", r)
+      spark.sql(
+        """CREATE TABLE graft_dml.t (
+          |  conv_id string, turn_idx int, role string, text string,
+          |  tool string, ts timestamp) TBLPROPERTIES ('buckets'='8')""".stripMargin)
+      changes(spark, dir).selectExpr("conv_id", "turn_idx", "role", "text",
+        "tool", "ts", "lsn AS _lsn", "op = 'D' AS _deleted")
+        .createOrReplaceTempView("graft_dml_changes")
+      spark.sql(
+        """INSERT INTO graft_dml.t
+          |  (conv_id, turn_idx, role, text, tool, ts, _lsn, _deleted)
+          |SELECT * FROM graft_dml_changes""".stripMargin)
+      r
+    })
+    spark.conf.set("spark.sql.catalog.graft_dml", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_dml.root", root)
+    withMs(spark.sql(
+      "SELECT conv_id, turn_idx, role, text, tool, ts FROM graft_dml.t"))
+      .orderBy("conv_id", "turn_idx")
+  }
+
   /** SCD type-2 history: every key's version chain with LSN validity
     * ranges — each I/U change opens a version valid [lsn, next change's
     * lsn); a delete closes the chain without opening one; the open version

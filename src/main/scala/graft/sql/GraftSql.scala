@@ -46,8 +46,10 @@ import scala.jdk.CollectionConverters._
   *  - statistics (bytes/rows) come from the manifest, so the optimizer
   *    can broadcast a small pruned read.
   *
-  * Writes stay with the engine (MERGE has CDC semantics SQL INSERT cannot
-  * express); the catalog is read-only and says so.
+  * Writes go through the same exactly-once MERGE as every pipeline batch:
+  * `INSERT INTO` applies the statement as a change batch
+  * ([[GraftWriteBuilder]]), and maintenance runs as stored procedures
+  * (`CALL cat.compact(…)` — [[GraftProcedures]]).
   */
 class GraftDataSource extends TableProvider {
 
@@ -72,15 +74,28 @@ class GraftDataSource extends TableProvider {
   * travel hands in an older one).
   */
 private[graft] class GraftTable(val table: ChronicleTable,
-    val snapshot: Snapshot) extends Table with SupportsRead {
+    val snapshot: Snapshot) extends Table with SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String = s"graft(${table.root}@v${snapshot.version})"
-  override def schema(): StructType = snapshot.schema
+  override def schema(): StructType = GraftWrite.withSqlDefaults(snapshot.schema)
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(table, snapshot)
+
+  /** `INSERT INTO` = apply a change batch via the exactly-once MERGE; the
+    * whole statement plans as one batch, so the V1 whole-DataFrame bridge
+    * (not per-task DataWriters) is the honest shape — the merge itself
+    * distributes. No truncate/overwrite capability: INSERT OVERWRITE is
+    * refused in analysis ([[GraftWriteBuilder]]).
+    */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftWriteBuilder(table, info)
 }
 
 private[graft] class GraftScanBuilder(table: ChronicleTable, snap: Snapshot)
@@ -319,10 +334,20 @@ private[sql] class SortedLwwMerge(streams: Seq[Iterator[InternalRow]],
 /** `spark.sql.catalog.<name> = graft.sql.GraftCatalog` with
   * `spark.sql.catalog.<name>.root = <warehouse dir>`: every ChronicleTable
   * under the root (nested namespaces = subdirectories) becomes a SQL
-  * table, read-only, with `VERSION AS OF` / `TIMESTAMP AS OF` time travel
-  * mapped to the engine's snapshot versions and [[ChronicleTable.versionAsOf]].
+  * table, with `VERSION AS OF` / `TIMESTAMP AS OF` time travel mapped to
+  * the engine's snapshot versions and [[ChronicleTable.versionAsOf]].
+  *
+  * DDL/DML surface: `CREATE TABLE` (payload columns; the engine appends
+  * its system columns and buckets by `TBLPROPERTIES('buckets'='N')`),
+  * `INSERT INTO` as change-batch application ([[GraftWriteBuilder]]), and
+  * maintenance as stored procedures (`CALL cat.compact(…)` —
+  * [[GraftProcedures]]). ALTER/DROP/RENAME stay refused: schema evolves
+  * through merges (additive, widening), and a CDC ledger table vanishing
+  * via SQL would strand its upstream cursors — destruction stays an
+  * operator action on the filesystem, not a query.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog
+  with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -372,20 +397,62 @@ class GraftCatalog extends TableCatalog {
     new GraftTable(t, t.loadVersion(t.versionAsOf(timestampMicros / 1000L)))
   }
 
-  private def readOnly: Nothing = throw new UnsupportedOperationException(
-    "graft catalog is read-only: MERGE/compaction/rescale have CDC " +
-      "semantics SQL DDL/DML cannot express — write through the engine " +
-      "API (graft.ops.MergeInto, graft.cdc.*)")
+  private def refused(what: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"graft catalog does not support $what: schema evolves through " +
+        "merges (additive columns, type widening), and destroying a CDC " +
+        "ledger table would strand its upstream cursors — table removal " +
+        "is an operator action on storage, not SQL")
 
+  override def capabilities()
+      : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
+  /** `CREATE TABLE cat.t (conv_id string, turn_idx int, …)
+    * TBLPROPERTIES ('buckets'='N')`. The user declares the PAYLOAD; the
+    * engine appends its system columns (`_lsn`, `_deleted`, `_source`) and
+    * owns the physical layout — `PARTITIONED BY` is refused because
+    * placement is the engine's hash-bucket invariant, not a user choice.
+    */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: java.util.Map[String, String]): Table = readOnly
+      properties: java.util.Map[String, String]): Table = {
+    if (partitions.nonEmpty)
+      throw new UnsupportedOperationException(
+        "graft tables hash-bucket internally on conv_id; PARTITIONED BY " +
+          "is not supported — size the layout with TBLPROPERTIES('buckets'='N')")
+    val sysNames = GraftWrite.systemFields.map(_.name).toSet
+    val payload = schema.fields.filterNot(f => sysNames.contains(f.name))
+    for ((k, t) <- Seq(("conv_id", org.apache.spark.sql.types.StringType),
+        ("turn_idx", org.apache.spark.sql.types.IntegerType)))
+      require(payload.exists(f => f.name == k && f.dataType == t),
+        s"graft tables key on (conv_id string, turn_idx int); missing or " +
+          s"mistyped $k")
+    val t = chronicle(ident)
+    if (t.exists)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException((ident.namespace() :+ ident.name()).toSeq)
+    val buckets = Option(properties.get("buckets")).map(_.toInt).getOrElse(16)
+    require(buckets >= 1, "buckets must be positive")
+    t.create(StructType(payload ++ GraftWrite.systemFields), buckets)
+    new GraftTable(t, t.loadCurrent())
+  }
+
   override def alterTable(ident: Identifier,
       changes: org.apache.spark.sql.connector.catalog.TableChange*): Table =
-    readOnly
-  override def dropTable(ident: Identifier): Boolean = readOnly
+    refused("ALTER TABLE")
+  override def dropTable(ident: Identifier): Boolean = refused("DROP TABLE")
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    readOnly
+    refused("RENAME TABLE")
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(root, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.nonEmpty) Array.empty
+    else GraftProcedures.names.map(n => Identifier.of(namespace, n)).toArray
 }
 
 private[sql] object GraftSql {
