@@ -207,28 +207,37 @@ object CdcQueries {
     * oracle: the write surface (SQL DML vs library MERGE) must not change
     * the replayed state.
     */
+  private val dmlCatalogSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
   def sqlInsertState(spark: SparkSession, dir: String): DataFrame = {
-    val root = replayCache.getOrElseUpdate((s"$dir#sqldml", 1), {
+    // the memo value carries the CATALOG NAME with the root: Spark caches
+    // catalog plugin instances per name, so a cache-cleared re-run (the
+    // bench's cold-to-cold rule) must replay under a FRESH name — re-using
+    // one would resolve against the instance pinned to the old root
+    val memo = replayCache.getOrElseUpdate((s"$dir#sqldml", 1), {
+      val cat = s"graft_dml_${dmlCatalogSeq.incrementAndGet()}"
       val r = java.nio.file.Files.createTempDirectory("graft-sqldml").toString
-      spark.conf.set("spark.sql.catalog.graft_dml", "graft.sql.GraftCatalog")
-      spark.conf.set("spark.sql.catalog.graft_dml.root", r)
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.root", r)
       spark.sql(
-        """CREATE TABLE graft_dml.t (
-          |  conv_id string, turn_idx int, role string, text string,
-          |  tool string, ts timestamp) TBLPROPERTIES ('buckets'='8')""".stripMargin)
+        s"""CREATE TABLE $cat.t (
+           |  conv_id string, turn_idx int, role string, text string,
+           |  tool string, ts timestamp) TBLPROPERTIES ('buckets'='8')""".stripMargin)
       changes(spark, dir).selectExpr("conv_id", "turn_idx", "role", "text",
         "tool", "ts", "lsn AS _lsn", "op = 'D' AS _deleted")
         .createOrReplaceTempView("graft_dml_changes")
       spark.sql(
-        """INSERT INTO graft_dml.t
-          |  (conv_id, turn_idx, role, text, tool, ts, _lsn, _deleted)
-          |SELECT * FROM graft_dml_changes""".stripMargin)
-      r
+        s"""INSERT INTO $cat.t
+           |  (conv_id, turn_idx, role, text, tool, ts, _lsn, _deleted)
+           |SELECT * FROM graft_dml_changes""".stripMargin)
+      s"$cat $r"
     })
-    spark.conf.set("spark.sql.catalog.graft_dml", "graft.sql.GraftCatalog")
-    spark.conf.set("spark.sql.catalog.graft_dml.root", root)
+    val parts = memo.split(' ')
+    val (catName, catRoot) = (parts(0), parts(1))
+    spark.conf.set(s"spark.sql.catalog.$catName", "graft.sql.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$catName.root", catRoot)
     withMs(spark.sql(
-      "SELECT conv_id, turn_idx, role, text, tool, ts FROM graft_dml.t"))
+      s"SELECT conv_id, turn_idx, role, text, tool, ts FROM $catName.t"))
       .orderBy("conv_id", "turn_idx")
   }
 
