@@ -51,22 +51,67 @@ import scala.jdk.CollectionConverters._
   * ([[GraftWriteBuilder]]), and maintenance runs as stored procedures
   * (`CALL cat.compact(…)` — [[GraftProcedures]]).
   */
-class GraftDataSource extends TableProvider {
+class GraftDataSource extends TableProvider
+  with org.apache.spark.sql.sources.StreamSinkProvider {
 
   private def pathOf(options: CaseInsensitiveStringMap): String =
     Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException(
         "graft tables need option 'path' (the table root)"))
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    new ChronicleTable(pathOf(options)).loadCurrent().schema
+  // A MISSING table resolves to a capability-less stub instead of failing
+  // here: DataStreamWriter resolves the provider's Table BEFORE it can
+  // fall back to the v1 streaming sink (which creates the table on its
+  // first epoch). Batch reads of the stub still fail with the clear error,
+  // just at scan time.
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val t = new ChronicleTable(pathOf(options))
+    if (t.exists) t.loadCurrent().schema else Model.physicalSchemaV1
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     val root = pathOf(new CaseInsensitiveStringMap(properties))
     val t = new ChronicleTable(root)
-    new GraftTable(t, t.loadCurrent())
+    if (t.exists) new GraftTable(t, t.loadCurrent())
+    else new MissingGraftTable(root)
   }
+
+  /** `df.writeStream.format("graft").option("path", root)` — see
+    * [[GraftStreamSink]]. Append and Update modes both mean "these rows
+    * are change events"; Complete (whole-result rewrite every trigger)
+    * contradicts an incremental ledger and is refused.
+    */
+  override def createSink(sqlContext: org.apache.spark.sql.SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(partitionColumns.isEmpty,
+      "graft tables hash-bucket internally; partitionBy is not supported")
+    require(outputMode != org.apache.spark.sql.streaming.OutputMode.Complete(),
+      "graft sink applies change events incrementally; Complete mode is " +
+        "not supported (use Append or Update)")
+    val opts = new CaseInsensitiveStringMap(parameters.asJava)
+    new GraftStreamSink(pathOf(opts),
+      source = opts.getOrDefault("source", "wstream"),
+      mergeOnRead = opts.getBoolean("mor", false),
+      buckets = opts.getInt("buckets", 16),
+      saltBuckets = opts.getInt("saltBuckets", 0))
+  }
+}
+
+/** Placeholder for a root with no table yet: no read/write capabilities
+  * (so the streaming-write path falls through to the v1 sink that creates
+  * the table), and a loud error if a batch read reaches scan planning.
+  */
+private[sql] class MissingGraftTable(root: String) extends Table with SupportsRead {
+  override def name(): String = s"graft($root — not created yet)"
+  override def schema(): StructType = Model.physicalSchemaV1
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+      Seq(root))
 }
 
 /** One snapshot of one ChronicleTable as a DSv2 batch table. The snapshot
