@@ -108,7 +108,7 @@ class DefaultSource extends TableProvider {
       pathOf(new CaseInsensitiveStringMap(properties)), properties)
 }
 
-private[changes] object DefaultSource {
+private[graft] object DefaultSource {
 
   /** The stream schema under a `columns` projection: the requested data
     * columns in TABLE order, plus the system columns (always — they are
@@ -128,6 +128,18 @@ private[changes] object DefaultSource {
         val keep = want.toSet ++ graft.model.Model.systemColumns
         StructType(full.fields.filter(f => keep.contains(f.name)))
     }
+
+  /** Factory for the unified catalog/path table ([[graft.sql.GraftTable]]):
+    * `readStream.format("graft")` and `readStream.table("cat.t")` serve
+    * the SAME micro-batch change stream as `format("graft.changes")` —
+    * one table object for batch read, batch write, stream read and stream
+    * write. (The `columns` projection stays exclusive to the dedicated
+    * changes source: a catalog table's stream must carry the table
+    * schema.)
+    */
+  private[graft] def microBatchStream(schema: StructType, root: String,
+      options: CaseInsensitiveStringMap): MicroBatchStream =
+    new ChangesMicroBatchStream(schema, root, options)
 }
 
 private[changes] class ChangesTable(schema0: StructType, root: String,

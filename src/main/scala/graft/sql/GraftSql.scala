@@ -126,10 +126,11 @@ private[graft] class GraftTable(val table: ChronicleTable,
   override def schema(): StructType = GraftWrite.withSqlDefaults(snapshot.schema)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(table, snapshot)
+    new GraftScanBuilder(table, snapshot, options)
 
   /** `INSERT INTO` = apply a change batch via the exactly-once MERGE; the
     * whole statement plans as one batch, so the V1 whole-DataFrame bridge
@@ -143,7 +144,8 @@ private[graft] class GraftTable(val table: ChronicleTable,
     new GraftWriteBuilder(table, info)
 }
 
-private[graft] class GraftScanBuilder(table: ChronicleTable, snap: Snapshot)
+private[graft] class GraftScanBuilder(table: ChronicleTable, snap: Snapshot,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
   extends ScanBuilder with SupportsPushDownFilters
   with SupportsPushDownRequiredColumns {
 
@@ -165,11 +167,12 @@ private[graft] class GraftScanBuilder(table: ChronicleTable, snap: Snapshot)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GraftScan(table, snap, pushed, required)
+  override def build(): Scan = new GraftScan(table, snap, pushed, required, options)
 }
 
 private[graft] class GraftScan(table: ChronicleTable, snap: Snapshot,
-    pushed: Array[sources.Filter], required: StructType)
+    pushed: Array[sources.Filter], required: StructType,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
   extends Scan with Batch with SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
@@ -177,6 +180,18 @@ private[graft] class GraftScan(table: ChronicleTable, snap: Snapshot,
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** `readStream` on the SAME table object serves the changelog: the
+    * unified surface delegates to the DSv2 micro-batch change stream
+    * ([[graft.changes]] — startingVersion / maxVersionsPerTrigger /
+    * bootstrap slicing options apply as reader options). The stream
+    * carries the full table schema; the dedicated `graft.changes` source
+    * remains the place for a `columns` projection.
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    graft.changes.DefaultSource.microBatchStream(snap.schema, table.root, options)
+
   override def description(): String =
     s"graft(${table.root}@v${snap.version}) " +
       s"pushed=[${pushed.mkString(",")}]"

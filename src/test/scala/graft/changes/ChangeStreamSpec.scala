@@ -526,4 +526,51 @@ class ChangeStreamSpec extends SparkSpec {
     }
     assert(drift.getMessage.contains("restart the stream"))
   }
+
+  test("unified table: readStream.format(\"graft\") and readStream.table serve the change stream") {
+    import org.apache.spark.sql.streaming.Trigger
+    val cfg = BinlogConfig(numEvents = 400, numConversations = 4,
+      segmentSize = 200, dupPct = 5, pDelete = 0.1)
+    val src = tmpDir("cs-uni-bl")
+    BinlogGenerator.writeSegments(spark, cfg, src)
+    val upRoot = s"${tmpDir("cs-uni")}/up"
+    val p = new CdcPipeline(PipelineConfig(src, upRoot,
+      segmentsPerBatch = 2, numBuckets = 4))
+    p.runAll(spark)
+    // the changelog ships tombstones too: expected = ALL current rows
+    val want = p.table.read(spark)
+      .select("conv_id", "turn_idx", Model.lsnColumn)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+
+    def drain(reader: => org.apache.spark.sql.DataFrame, ck: String) = {
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int, Long)]()
+      reader.writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select("conv_id", "turn_idx", Model.lsnColumn).collect()
+            .foreach(r => got.add((r.getString(0), r.getInt(1), r.getLong(2))))
+          ()
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+      got.asScala.toSet
+    }
+
+    // path route: ONE format string for the whole lifecycle
+    val viaPath = drain(
+      spark.readStream.format("graft")
+        .option("startingVersion", "bootstrap").load(upRoot),
+      tmpDir("cs-uni-ck1"))
+    assert(viaPath == want, "format(\"graft\") stream must ship the bootstrap state")
+
+    // catalog route: readStream.table over the registered warehouse
+    val parent = java.nio.file.Paths.get(upRoot).getParent
+    spark.conf.set("spark.sql.catalog.graft_uni", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_uni.root", parent.toString)
+    val viaTable = drain(
+      spark.readStream
+        .option("startingVersion", "bootstrap")
+        .table("graft_uni.up"),
+      tmpDir("cs-uni-ck2"))
+    assert(viaTable == want, "readStream.table must serve the same stream")
+  }
 }
