@@ -124,6 +124,23 @@ private[graft] class GraftTable(val table: ChronicleTable,
 
   override def name(): String = s"graft(${table.root}@v${snapshot.version})"
   override def schema(): StructType = GraftWrite.withSqlDefaults(snapshot.schema)
+
+  /** `SHOW TBLPROPERTIES` / `DESCRIBE EXTENDED`: the snapshot's health
+    * numbers, read from the manifest (no data IO) — the SQL face of
+    * `RunCdc stats`.
+    */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    m.put("version", snapshot.version.toString)
+    m.put("buckets", snapshot.numBuckets.toString)
+    m.put("rows", snapshot.totalRows.toString)
+    m.put("files", snapshot.numFiles.toString)
+    m.put("has_deltas", table.hasDeltas(snapshot).toString)
+    m.put("commit_time_ms", snapshot.commitTimeMs.toString)
+    snapshot.hwms.foreach { case (src, lsn) => m.put(s"hwm.$src", lsn.toString) }
+    m
+  }
+
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,

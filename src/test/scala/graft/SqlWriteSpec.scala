@@ -183,6 +183,21 @@ class SqlWriteSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq == Seq("x7"))
   }
 
+  test("SHOW TBLPROPERTIES serves snapshot health from the manifest") {
+    val (cat, _) = freshCatalog("props")
+    spark.sql(s"CREATE TABLE $cat.t (conv_id string, turn_idx int, role string, " +
+      "text string, tool string, ts timestamp) TBLPROPERTIES ('buckets'='4')")
+    spark.sql(s"INSERT INTO $cat.t (conv_id, turn_idx, role, text, tool, ts, _lsn) " +
+      "VALUES ('c-1', 0, 'user', 'x', NULL, timestamp'2024-01-01 00:00:00', 7)")
+    val props = spark.sql(s"SHOW TBLPROPERTIES $cat.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("buckets") == "4")
+    assert(props("version") == "1")
+    assert(props("rows") == "1")
+    assert(props("has_deltas") == "false")
+    assert(props("hwm.sql") == "7", s"per-source hwm must surface, got $props")
+  }
+
   test("DDL guardrails: duplicate create, partitioning, bad keys, drop/alter refusals") {
     val (cat, _) = freshCatalog("ddl")
     spark.sql(s"CREATE TABLE $cat.t (conv_id string, turn_idx int, text string)")
