@@ -422,6 +422,16 @@ private[sql] class SortedLwwMerge(streams: Seq[Iterator[InternalRow]],
   * through merges (additive, widening), and a CDC ledger table vanishing
   * via SQL would strand its upstream cursors — destruction stays an
   * operator action on the filesystem, not a query.
+  *
+  * SQL `MERGE INTO` / `UPDATE` / `DELETE` are deliberately NOT
+  * implemented (Spark's standard "does not support MERGE INTO TABLE"
+  * error surfaces): the DSv2 row-level rewrite is a group replace —
+  * matched rows are physically rewritten or dropped with no LSN
+  * discipline and no tombstones, which would silently break the replay
+  * ledger, late-redelivery protection, and every changelog tailer. On a
+  * CDC ledger the correct MERGE is "apply change events", which is
+  * exactly what `INSERT INTO` of change rows does (delete = a
+  * `_deleted = true` row), with full exactly-once semantics.
   */
 class GraftCatalog extends TableCatalog
   with org.apache.spark.sql.connector.catalog.ProcedureCatalog {

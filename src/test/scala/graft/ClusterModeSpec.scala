@@ -161,4 +161,48 @@ class ClusterModeSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(scores == Map("c-int" -> 7L, "c-long" -> big))
   }
+
+  test("native streaming sink on real executors: epochs merge exactly-once across JVMs") {
+    // the sink re-roots each micro-batch's physical rows as a batch input
+    // (MicroBatch.stripStreaming) — exactly the kind of plumbing that can
+    // pass local[n] yet break when tasks run in separate executor JVMs
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val sess = spark
+    import sess.implicits._
+    val src = SparkSpec.tmpDir("cluster-wsink-src")
+    val root = s"${SparkSpec.tmpDir("cluster-wsink")}/t"
+    def seg(n: Int, lo: Long, op: String): Unit =
+      (0 until 32).map(i => (lo + i, op, s"c-${i % 8}", i / 8, s"t$lo-$i"))
+        .toDF("lsn", "op", "conv_id", "turn_idx", "text")
+        .withColumn("role", lit("user"))
+        .withColumn("tool", lit(null).cast("string"))
+        .withColumn("ts", lit(new java.sql.Timestamp(1704067200000L)))
+        .select("lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+        .repartition(4) // multiple tasks per epoch, spread across executors
+        .write.parquet(s"$src/seg=$n")
+    seg(0, 0L, "I")
+    seg(1, 1000L, "U")
+    val schema = spark.read.parquet(s"$src/seg=0").schema
+    val ckpt = SparkSpec.tmpDir("cluster-wsink-ckpt")
+    def drain(): Unit = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$src/seg=*")
+      .writeStream.format("graft")
+      .option("path", root).option("checkpointLocation", ckpt)
+      .option("buckets", "4")
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    drain()
+    val t = new graft.table.ChronicleTable(root)
+    val rows = t.read(spark)
+      .filter(!col(graft.model.Model.deletedColumn))
+      .select("conv_id", "turn_idx", "text").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getString(2)).toMap
+    assert(rows.size == 32)
+    assert(rows.forall(_._2.startsWith("t1000-")),
+      "the update epoch must win by LWW on every key across executor JVMs")
+    // restart with nothing new: checkpoint + ledger ship zero rows
+    val v = t.loadCurrent().version
+    drain()
+    assert(t.loadCurrent().version == v)
+  }
 }
