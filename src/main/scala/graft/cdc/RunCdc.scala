@@ -88,6 +88,30 @@ object RunCdc {
       val snap = p.table.loadCurrent()
       println(s"stream drained; snapshot v${snap.version} rows=${snap.totalRows}")
 
+    // wsink <binlogDir> <tableRoot> <checkpointDir> [buckets]: the same
+    // drain through the NATIVE streaming sink — writeStream.format("graft")
+    // instead of the pipeline's foreachBatch ([[graft.sql.GraftStreamSink]];
+    // GRAFT_MOR=1 for merge-on-read epochs)
+    case "wsink" =>
+      import org.apache.spark.sql.streaming.Trigger
+      val q = spark.readStream.schema(graft.model.Model.changeSchema)
+        .option("maxFilesPerTrigger", 8)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(s"${args(1)}/segment=*")
+        .select(graft.ops.MergeInto.changeColumns: _*)
+        .writeStream.format("graft")
+        .option("path", args(2))
+        .option("checkpointLocation", args(3))
+        .option("buckets", if (args.length > 4) args(4) else "16")
+        .option("mor", sys.env.get("GRAFT_MOR").contains("1").toString)
+        .option("source", "wsink")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val t = new graft.table.ChronicleTable(args(2))
+      val ws = t.loadCurrent()
+      println(s"wsink drained; snapshot v${ws.version} rows=${ws.totalRows}")
+
     case "state" =>
       val p = new CdcPipeline(PipelineConfig("", args(1)))
       val df =
