@@ -205,4 +205,45 @@ class ClusterModeSpec extends AnyFunSuite {
     drain()
     assert(t.loadCurrent().version == v)
   }
+
+  test("SQL catalog on real executors: INSERT, MOR sorted-merge scan, CALL compact") {
+    // the DSv2 reader (GraftReaderFactory + SortedLwwMerge) runs ON the
+    // executors — this pins its InternalRow/UTF8String handling and the
+    // per-bucket merge across process boundaries
+    val root = SparkSpec.tmpDir("cluster-sqlcat")
+    spark.conf.set("spark.sql.catalog.gclu", "graft.sql.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gclu.root", root)
+    spark.sql("CREATE TABLE gclu.t (conv_id string, turn_idx int, role string, " +
+      "text string, tool string, ts timestamp) TBLPROPERTIES ('buckets'='4')")
+    spark.range(200).selectExpr(
+      "concat('c-', id % 50) AS conv_id", "CAST(id / 50 AS int) AS turn_idx",
+      "'user' AS role", "concat('v', id) AS text",
+      "CAST(NULL AS string) AS tool",
+      "timestamp'2024-01-01 00:00:00' AS ts", "id AS _lsn")
+      .createOrReplaceTempView("gclu_rows")
+    spark.sql("INSERT INTO gclu.t (conv_id, turn_idx, role, text, tool, ts, _lsn) " +
+      "SELECT * FROM gclu_rows")
+    // MOR deltas displace half the keys; the catalog scan must LWW-merge
+    // base+delta per bucket on the executors
+    val t = new graft.table.ChronicleTable(s"$root/t")
+    val sess = spark
+    import sess.implicits._
+    val upd = (0 until 50).map(i => (1000L + i, "U", s"c-$i", 0, s"upd$i"))
+      .toDF("lsn", "op", "conv_id", "turn_idx", "text")
+      .withColumn("role", org.apache.spark.sql.functions.lit("user"))
+      .withColumn("tool", org.apache.spark.sql.functions.lit(null).cast("string"))
+      .withColumn("ts", org.apache.spark.sql.functions.lit(new java.sql.Timestamp(0L)))
+      .select("lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+    graft.ops.MergeInto(spark, t, upd, "cm#0", "cm", mergeOnRead = true)
+    assert(t.hasDeltas(t.loadCurrent()))
+    val merged = spark.sql(
+      "SELECT text FROM gclu.t WHERE conv_id = 'c-7' AND turn_idx = 0")
+      .collect().map(_.getString(0)).toSeq
+    assert(merged == Seq("upd7"), s"executor-side LWW merge must win, got $merged")
+    assert(spark.sql("SELECT count(*) FROM gclu.t").collect()(0).getLong(0) == 200L)
+
+    val r = spark.sql("CALL gclu.compact(table => 't')").collect()(0)
+    assert(r.getInt(0) > 0 && !t.hasDeltas(t.loadCurrent()))
+    assert(spark.sql("SELECT count(*) FROM gclu.t").collect()(0).getLong(0) == 200L)
+  }
 }
