@@ -69,6 +69,9 @@ object SparkEntry {
     // the same replay driven entirely by SQL DML (CREATE TABLE + one
     // INSERT INTO … SELECT of change rows) — shares finalState's oracle
     "cdc_sql_insert" -> ((s, d) => CdcQueries.sqlInsertState(s, d)),
+    // and driven by the NATIVE streaming sink (writeStream.format("graft"),
+    // multi-epoch file tail) — same oracle again
+    "cdc_stream_sink" -> ((s, d) => CdcQueries.streamSinkState(s, d)),
     "cdc_scd2" -> ((s, d) => CdcQueries.scd2(s, d)),
     "cdc_hwm_anti" -> ((s, d) => CdcQueries.hwmAntiJoin(s, d)),
     "cdc_route_dsl" -> ((s, d) => CdcQueries.routeDsl(s, d)),
@@ -157,6 +160,12 @@ object SparkEntry {
          |FROM d WHERE rn = 1 AND op <> 'D' ORDER BY conv_id, turn_idx""".stripMargin,
 
     "cdc_sql_insert" ->
+      s"""WITH ch AS ($changesSql),
+         |d AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn FROM ch)
+         |SELECT conv_id, turn_idx, role, text, tool, ts_ms
+         |FROM d WHERE rn = 1 AND op <> 'D' ORDER BY conv_id, turn_idx""".stripMargin,
+
+    "cdc_stream_sink" ->
       s"""WITH ch AS ($changesSql),
          |d AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn FROM ch)
          |SELECT conv_id, turn_idx, role, text, tool, ts_ms

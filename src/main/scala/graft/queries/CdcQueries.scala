@@ -241,6 +241,43 @@ object CdcQueries {
       .orderBy("conv_id", "turn_idx")
   }
 
+  /** Full replay through the NATIVE STREAMING SINK: the change stream is
+    * staged as parquet segments, tailed by a file source, and written with
+    * `writeStream.format("graft")` ([[graft.sql.GraftStreamSink]]) — each
+    * micro-batch an exactly-once merge epoch. Shares [[finalState]]'s
+    * oracle: pipeline drain, SQL DML and the streaming sink must all
+    * converge to the identical replayed state.
+    */
+  def streamSinkState(spark: SparkSession, dir: String): DataFrame = {
+    val root = replayCache.getOrElseUpdate((s"$dir#wsink", 1), {
+      val base = java.nio.file.Files.createTempDirectory("graft-wsink").toString
+      val src = s"$base/segments"
+      // 4 lsn-range segments so the drain is a genuine multi-epoch tail
+      val ch = changes(spark, dir)
+      val maxLsn = ch.agg(max("lsn")).collect()(0).getLong(0)
+      val step = maxLsn / 4 + 1
+      (0 until 4).foreach { b =>
+        ch.filter(col("lsn") >= b * step && col("lsn") < (b + 1) * step)
+          .coalesce(1).write.parquet(s"$src/seg=$b")
+      }
+      val schema = spark.read.parquet(s"$src/seg=0").schema
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$src/seg=*")
+        .writeStream.format("graft")
+        .option("path", s"$base/table")
+        .option("checkpointLocation", s"$base/ckpt")
+        .option("buckets", "8").option("source", "oracle-wsink")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      s"$base/table"
+    })
+    withMs(
+      new ChronicleTable(root).read(spark)
+        .filter(!col(Model.deletedColumn))
+        .drop(Model.systemColumns: _*))
+      .orderBy("conv_id", "turn_idx")
+  }
+
   /** SCD type-2 history: every key's version chain with LSN validity
     * ranges — each I/U change opens a version valid [lsn, next change's
     * lsn); a delete closes the chain without opening one; the open version

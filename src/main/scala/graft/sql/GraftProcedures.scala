@@ -31,7 +31,7 @@ import org.apache.spark.unsafe.types.UTF8String
 private[sql] object GraftProcedures {
 
   val names: Seq[String] =
-    Seq("compact", "expire_snapshots", "rescale", "gc_orphans")
+    Seq("compact", "expire_snapshots", "rescale", "gc_orphans", "history")
 
   def load(root: String, ident: Identifier): UnboundProcedure = {
     require(ident.namespace().isEmpty,
@@ -41,6 +41,7 @@ private[sql] object GraftProcedures {
       case "expire_snapshots" => new ExpireProcedure(root)
       case "rescale" => new RescaleProcedure(root)
       case "gc_orphans" => new GcOrphansProcedure(root)
+      case "history" => new HistoryProcedure(root)
       case other => throw new UnsupportedOperationException(
         s"unknown procedure $other; available: ${names.mkString(", ")}")
     }
@@ -159,6 +160,28 @@ private[sql] class RescaleProcedure(root: String) extends GraftProcedure(root) {
       newNumBuckets = input.getInt(1), targetRowsPerFile = input.getLong(2))
     result(out, row(r.oldNumBuckets, r.newNumBuckets, r.removedFiles,
       r.addedFiles, r.snapshot.version))
+  }
+}
+
+private[sql] class HistoryProcedure(root: String) extends GraftProcedure(root) {
+  override def name(): String = "history"
+  override def description(): String =
+    "the retained snapshot log: one row per version with commit time, " +
+      "row/file counts and delta presence (time-travel targets)"
+  override def parameters(): Array[ProcedureParameter] = Array(tableParam)
+  private val out = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("commit_time_ms", LongType, nullable = false),
+    StructField("rows", LongType, nullable = false),
+    StructField("files", IntegerType, nullable = false),
+    StructField("has_deltas", BooleanType, nullable = false)))
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val t = chronicle(input)
+    val rows = t.versions.sorted.map { v =>
+      val s = t.loadVersion(v)
+      row(v, s.commitTimeMs, s.totalRows, s.numFiles, t.hasDeltas(s))
+    }
+    result(out, rows: _*)
   }
 }
 

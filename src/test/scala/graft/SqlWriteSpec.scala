@@ -196,6 +196,12 @@ class SqlWriteSpec extends SparkSpec {
     assert(props("rows") == "1")
     assert(props("has_deltas") == "false")
     assert(props("hwm.sql") == "7", s"per-source hwm must surface, got $props")
+
+    // CALL history: the snapshot log (time-travel targets) from SQL
+    val hist = spark.sql(s"CALL $cat.history(table => 't')").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(hist.map(_._1).toSeq == Seq(0L, 1L))
+    assert(hist.last._2 == 1L, s"v1 must report 1 row, got ${hist.toSeq}")
   }
 
   test("DDL guardrails: duplicate create, partitioning, bad keys, drop/alter refusals") {
