@@ -1,7 +1,7 @@
 package graft.sql
 
 import graft.model.Model
-import graft.table.{ChronicleTable, DataFileMeta, Snapshot}
+import graft.table.{ChronicleTable, DataFileMeta, LineageEntry, PendingCommit, Snapshot}
 import org.apache.spark.paths.SparkPath
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
@@ -418,10 +418,19 @@ private[sql] class SortedLwwMerge(streams: Seq[Iterator[InternalRow]],
   * its system columns and buckets by `TBLPROPERTIES('buckets'='N')`),
   * `INSERT INTO` as change-batch application ([[GraftWriteBuilder]]), and
   * maintenance as stored procedures (`CALL cat.compact(…)` —
-  * [[GraftProcedures]]). ALTER/DROP/RENAME stay refused: schema evolves
-  * through merges (additive, widening), and a CDC ledger table vanishing
-  * via SQL would strand its upstream cursors — destruction stays an
-  * operator action on the filesystem, not a query.
+  * [[GraftProcedures]]). `ALTER TABLE` supports EXACTLY the engine's
+  * merge-driven evolutions — `ADD COLUMNS` (appended, nullable) and
+  * lossless type widening — as metadata-only commits; drop/rename/
+  * reorder/narrow stay refused (they would strand changelog tailers and
+  * rewrite history), and DROP/RENAME TABLE stays an operator action on
+  * storage, not SQL — a CDC ledger table vanishing via a query would
+  * strand its upstream cursors.
+  *
+  * Metadata tables (Iceberg's idiom): `SELECT * FROM cat.t.snapshots`
+  * (the retained snapshot log), `cat.t.files` (the live file inventory
+  * with its manifest stats — what pruning sees), `cat.t.lineage` (the
+  * per-commit lineage ledger). All three read JSON manifests only — no
+  * data IO — so they plan as driver-local scans.
   *
   * SQL `MERGE INTO` / `UPDATE` / `DELETE` are deliberately NOT
   * implemented (Spark's standard "does not support MERGE INTO TABLE"
@@ -464,10 +473,19 @@ class GraftCatalog extends TableCatalog
 
   override def loadTable(ident: Identifier): Table = {
     val t = chronicle(ident)
-    if (!t.exists)
-      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
-        (ident.namespace() :+ ident.name()).toSeq)
-    new GraftTable(t, t.loadCurrent())
+    if (t.exists) return new GraftTable(t, t.loadCurrent())
+    // `SELECT * FROM cat.ns.t.<meta>` arrives as Identifier(ns :+ t, <meta>):
+    // when no real table lives at the full path, the trailing name may be a
+    // metadata-table selector on the parent (a real table always wins)
+    if (ident.namespace().nonEmpty &&
+        GraftCatalog.metaNames.contains(ident.name())) {
+      val parent = chronicle(Identifier.of(
+        ident.namespace().init, ident.namespace().last))
+      if (parent.exists)
+        return GraftCatalog.metaTable(parent, ident.name())
+    }
+    throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+      (ident.namespace() :+ ident.name()).toSeq)
   }
 
   /** SQL `VERSION AS OF <v>` — the engine's snapshot version. */
@@ -526,9 +544,75 @@ class GraftCatalog extends TableCatalog
     new GraftTable(t, t.loadCurrent())
   }
 
+  /** `ALTER TABLE cat.t ADD COLUMNS (tool string, …)` and
+    * `ALTER TABLE cat.t ALTER COLUMN x TYPE bigint` — the SQL face of the
+    * engine's merge-driven schema evolution, restricted to EXACTLY the
+    * [[ChronicleTable.mergeSchemas]] rule set (new columns append
+    * nullable; widenings are the lossless Iceberg promotions int->long,
+    * float->double, int->double), so a SQL ALTER and a widening change
+    * batch can never produce different schemas. The change lands as a
+    * METADATA-ONLY commit: no data files are touched (old narrow files
+    * read through Spark's native parquet up-cast), the new version is
+    * time-travelable like any other, and changelog tailers adopt it
+    * through the existing widening path. Everything else — drop, rename,
+    * reorder, narrowing, nullability changes — stays refused: the
+    * changelog contract and the sorted-file invariant both survive only
+    * additive evolution.
+    */
   override def alterTable(ident: Identifier,
-      changes: org.apache.spark.sql.connector.catalog.TableChange*): Table =
-    refused("ALTER TABLE")
+      changes: org.apache.spark.sql.connector.catalog.TableChange*): Table = {
+    import org.apache.spark.sql.connector.catalog.TableChange
+    import org.apache.spark.sql.types.StructField
+    val t = chronicle(ident)
+    if (!t.exists)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        (ident.namespace() :+ ident.name()).toSeq)
+    val base = t.loadCurrent()
+    var schema = base.schema
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1,
+          "graft tables have no nested columns — ADD COLUMN takes a " +
+            "top-level name")
+        val nm = a.fieldNames()(0)
+        require(a.isNullable,
+          s"ADD COLUMN $nm NOT NULL is unsatisfiable on existing rows — " +
+            "add it nullable")
+        require(a.position() == null,
+          "column order is the engine's (new columns append) — " +
+            "FIRST/AFTER is not supported")
+        require(!schema.fieldNames.contains(nm), s"column $nm already exists")
+        schema = ChronicleTable.mergeSchemas(schema,
+          StructType(Seq(StructField(nm, a.dataType(), nullable = true))))
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames().length == 1,
+          "graft tables have no nested columns")
+        val nm = u.fieldNames()(0)
+        require(schema.fieldNames.contains(nm), s"no such column $nm")
+        val before = schema(schema.fieldIndex(nm)).dataType
+        val merged = ChronicleTable.mergeSchemas(schema,
+          StructType(Seq(StructField(nm, u.newDataType()))))
+        if (merged(merged.fieldIndex(nm)).dataType != u.newDataType())
+          throw new UnsupportedOperationException(
+            s"ALTER COLUMN $nm: ${before.simpleString} -> " +
+              s"${u.newDataType().simpleString} is not a lossless widening " +
+              "(allowed: int->bigint, float->double, int->double)")
+        schema = merged
+      case other =>
+        refused(s"ALTER TABLE ${other.getClass.getSimpleName}")
+    }
+    if (schema != base.schema) {
+      // Range-shaped key like compaction's: unique per run (the version
+      // always advances) and folded away by the contiguous-floor ledger.
+      // endLsn = -1 keeps every source mark untouched (metadata-only).
+      val key = s"altersql#${base.floors.getOrElse("altersql", -1L) + 1}" +
+        s"-${base.version}"
+      val lineage = LineageEntry(key, "altersql",
+        -1L, -1L, 0L, 0L, 0L, 0L, Map.empty, -1L)
+      t.commit(base, PendingCommit(key, Nil, Nil, Some(schema), lineage))
+    }
+    new GraftTable(t, t.loadCurrent())
+  }
   override def dropTable(ident: Identifier): Boolean = refused("DROP TABLE")
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     refused("RENAME TABLE")
@@ -540,6 +624,99 @@ class GraftCatalog extends TableCatalog
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.nonEmpty) Array.empty
     else GraftProcedures.names.map(n => Identifier.of(namespace, n)).toArray
+}
+
+/** Metadata-table construction (`cat.t.snapshots` / `.files` /
+  * `.lineage`). Content comes from the table's JSON manifests only — the
+  * rows are O(retained versions | live files | retained commits), bounded
+  * by the same argument that bounds manifest size, so a driver-local
+  * [[org.apache.spark.sql.connector.read.LocalScan]] is the honest plan
+  * (Iceberg's metadata tables make the same call at this cardinality).
+  */
+private[sql] object GraftCatalog {
+
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.types._
+  import org.apache.spark.unsafe.types.UTF8String
+
+  val metaNames: Set[String] = Set("snapshots", "files", "lineage")
+
+  private def row(values: Any*): InternalRow =
+    new GenericInternalRow(values.map {
+      case s: String => UTF8String.fromString(s)
+      case v => v
+    }.toArray)
+
+  private val snapshotsSchema = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("commit_time_ms", LongType, nullable = false),
+    StructField("rows", LongType, nullable = false),
+    StructField("files", IntegerType, nullable = false),
+    StructField("buckets", IntegerType, nullable = false),
+    StructField("hwm_lsn", LongType, nullable = false),
+    StructField("has_deltas", BooleanType, nullable = false)))
+
+  private val filesSchema = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("bucket", IntegerType, nullable = false),
+    StructField("delta", BooleanType, nullable = false),
+    StructField("rows", LongType, nullable = false),
+    StructField("bytes", LongType, nullable = false),
+    StructField("min_key", StringType, nullable = false),
+    StructField("max_key", StringType, nullable = false),
+    StructField("min_lsn", LongType, nullable = false),
+    StructField("max_lsn", LongType, nullable = false),
+    StructField("min_ts_ms", LongType, nullable = false),
+    StructField("max_ts_ms", LongType, nullable = false)))
+
+  private val lineageSchema = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("batch_key", StringType, nullable = false),
+    StructField("source", StringType, nullable = false),
+    StructField("start_lsn", LongType, nullable = false),
+    StructField("end_lsn", LongType, nullable = false),
+    StructField("upserts", LongType, nullable = false),
+    StructField("deletes", LongType, nullable = false),
+    StructField("row_count", LongType, nullable = false),
+    StructField("checksum", LongType, nullable = false)))
+
+  def metaTable(t: ChronicleTable, which: String): Table = which match {
+    case "snapshots" => new GraftMetaTable(s"graft(${t.root}).snapshots",
+      snapshotsSchema, () => t.versions.sorted.map { v =>
+        val s = t.loadVersion(v)
+        row(v, s.commitTimeMs, s.totalRows, s.numFiles, s.numBuckets,
+          s.hwmLsn, t.hasDeltas(s))
+      }.toArray)
+    case "files" => new GraftMetaTable(s"graft(${t.root}).files",
+      filesSchema, () => t.filesOf(t.loadCurrent()).map { f =>
+        row(f.path, f.bucket, f.delta, f.rows, f.bytes,
+          f.minKey, f.maxKey, f.minLsn, f.maxLsn, f.minTsMs, f.maxTsMs)
+      }.toArray)
+    case "lineage" => new GraftMetaTable(s"graft(${t.root}).lineage",
+      lineageSchema, () => t.fullLineage().map { e =>
+        row(e.snapshotVersion, e.batchKey, e.source, e.startLsn, e.endLsn,
+          e.upserts, e.deletes, e.rowCount, e.checksum)
+      }.toArray)
+    case other => throw new IllegalArgumentException(s"no metadata table $other")
+  }
+}
+
+/** One metadata view of one ChronicleTable as a read-only DSv2 table whose
+  * scan is a driver-local row set (content re-read at scan build, so a
+  * cached analysis never serves stale metadata).
+  */
+private[sql] class GraftMetaTable(name0: String, schema0: StructType,
+    content: () => Array[InternalRow]) extends Table with SupportsRead {
+  override def name(): String = name0
+  override def schema(): StructType = schema0
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new org.apache.spark.sql.connector.read.LocalScan {
+      override def rows(): Array[InternalRow] = content()
+      override def readSchema(): StructType = schema0
+      override def description(): String = name0
+    }
 }
 
 private[sql] object GraftSql {

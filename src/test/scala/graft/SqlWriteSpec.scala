@@ -214,6 +214,107 @@ class SqlWriteSpec extends SparkSpec {
     intercept[Exception] { spark.sql(
       s"CREATE TABLE $cat.k (conv_id string, text string)") } // no turn_idx
     intercept[Exception] { spark.sql(s"DROP TABLE $cat.t") }
-    intercept[Exception] { spark.sql(s"ALTER TABLE $cat.t ADD COLUMN c string") }
+    // destructive ALTERs stay refused (additive ADD/widen are supported)
+    intercept[Exception] { spark.sql(s"ALTER TABLE $cat.t DROP COLUMN text") }
+    intercept[Exception] { spark.sql(
+      s"ALTER TABLE $cat.t RENAME COLUMN text TO body") }
+  }
+
+  test("ALTER TABLE ADD COLUMNS / lossless widening are metadata-only commits") {
+    val (cat, root) = freshCatalog("alter")
+    spark.sql(s"CREATE TABLE $cat.t (conv_id string, turn_idx int, role string, " +
+      "text string, tool string, ts timestamp, score int) " +
+      "TBLPROPERTIES ('buckets'='2')")
+    spark.sql(s"INSERT INTO $cat.t (conv_id, turn_idx, role, text, tool, ts, score, _lsn) " +
+      "VALUES ('c-1', 0, 'user', 'x', NULL, timestamp'2024-01-01 00:00:00', 3, 1)")
+    val t = new ChronicleTable(s"$root/t")
+    val before = t.loadCurrent()
+    val filesBefore = t.filesOf(before).map(_.path).toSet
+
+    spark.sql(s"ALTER TABLE $cat.t ADD COLUMNS (rating double)")
+    val afterAdd = t.loadCurrent()
+    assert(afterAdd.version == before.version + 1,
+      "ALTER must land as a versioned commit")
+    assert(t.filesOf(afterAdd).map(_.path).toSet == filesBefore,
+      "ALTER ADD COLUMN must touch no data files")
+    assert(afterAdd.schema.fieldNames.contains("rating"))
+    assert(afterAdd.hwms == before.hwms,
+      "a metadata-only commit must leave every source mark untouched")
+    // pre-ALTER rows read NULL for the new column; new inserts carry it
+    assert(spark.sql(s"SELECT rating FROM $cat.t WHERE conv_id = 'c-1'")
+      .collect()(0).isNullAt(0))
+    spark.sql(s"INSERT INTO $cat.t (conv_id, turn_idx, role, text, tool, ts, score, rating, _lsn) " +
+      "VALUES ('c-2', 0, 'user', 'y', NULL, timestamp'2024-01-02 00:00:00', 4, 0.5, 2)")
+    assert(spark.sql(s"SELECT rating FROM $cat.t WHERE conv_id = 'c-2'")
+      .collect()(0).getDouble(0) == 0.5)
+
+    // lossless widening: int -> bigint; narrow int files up-cast natively
+    spark.sql(s"ALTER TABLE $cat.t ALTER COLUMN score TYPE bigint")
+    val widened = t.loadCurrent()
+    assert(widened.schema(widened.schema.fieldIndex("score")).dataType ==
+      org.apache.spark.sql.types.LongType)
+    val scores = spark.sql(s"SELECT score FROM $cat.t ORDER BY conv_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(scores == Seq(3L, 4L),
+      s"pre-widening int files must read as long, got $scores")
+
+    // time travel still serves the PRE-alter schema at the old version
+    assert(!spark.sql(s"SELECT * FROM $cat.t VERSION AS OF ${before.version}")
+      .schema.fieldNames.contains("rating"))
+
+    // refusals: narrowing, lossy widening, duplicates, NOT NULL, missing col
+    intercept[Exception] { spark.sql(
+      s"ALTER TABLE $cat.t ALTER COLUMN score TYPE int") }
+    intercept[Exception] { spark.sql(
+      s"ALTER TABLE $cat.t ALTER COLUMN _lsn TYPE double") } // long->double rounds
+    intercept[Exception] { spark.sql(
+      s"ALTER TABLE $cat.t ADD COLUMNS (text string)") }
+    intercept[Exception] { spark.sql(
+      s"ALTER TABLE $cat.t ADD COLUMNS (req string NOT NULL)") }
+    intercept[Exception] { spark.sql(
+      s"ALTER TABLE $cat.t ALTER COLUMN nope TYPE bigint") }
+    assert(t.loadCurrent().version == widened.version,
+      "refused ALTERs must not commit")
+  }
+
+  test("metadata tables: snapshots, files and lineage read from manifests only") {
+    val (cat, root) = freshCatalog("meta")
+    spark.sql(s"CREATE TABLE $cat.t (conv_id string, turn_idx int, role string, " +
+      "text string, tool string, ts timestamp) TBLPROPERTIES ('buckets'='2')")
+    spark.sql(s"INSERT INTO $cat.t (conv_id, turn_idx, role, text, tool, ts, _lsn) " +
+      "VALUES ('c-1', 0, 'user', 'a', NULL, timestamp'2024-01-01 00:00:00', 1), " +
+      "('c-2', 0, 'user', 'b', NULL, timestamp'2024-01-01 00:00:01', 2)")
+    spark.sql(s"INSERT INTO $cat.t (conv_id, turn_idx, role, text, tool, ts, _lsn, _deleted) " +
+      "VALUES ('c-2', 0, 'user', '', NULL, timestamp'2024-01-02 00:00:00', 3, true)")
+    val t = new ChronicleTable(s"$root/t")
+    val snap = t.loadCurrent()
+
+    // .snapshots ≡ CALL history (plus buckets + hwm)
+    val snaps = spark.sql(s"SELECT * FROM $cat.t.snapshots ORDER BY version")
+      .collect()
+    assert(snaps.map(_.getLong(0)).toSeq == t.versions.sorted,
+      "one row per retained version")
+    val cur = snaps.last
+    assert(cur.getLong(2) == snap.totalRows && cur.getInt(3) == snap.numFiles)
+    assert(cur.getLong(5) == snap.hwmLsn)
+
+    // .files mirrors the live inventory and its pruning stats
+    val files = spark.sql(s"SELECT * FROM $cat.t.files").collect()
+    assert(files.length == snap.numFiles)
+    assert(files.map(_.getLong(3)).sum == snap.totalRows)
+    assert(files.forall(r => r.getInt(1) >= 0 && r.getInt(1) < snap.numBuckets))
+    assert(files.forall(r => r.getString(5) <= r.getString(6)),
+      "min_key <= max_key in every manifest row")
+
+    // .lineage is the per-commit ledger; SQL inserts tag source 'sql'
+    val lin = spark.sql(
+      s"SELECT source, row_count FROM $cat.t.lineage ORDER BY version")
+      .collect()
+    assert(lin.length == t.fullLineage().size)
+    assert(lin.forall(_.getString(0) == "sql"))
+    assert(lin.map(_.getLong(1)).sum == 3L, "three change rows across commits")
+
+    // a real table always wins over the meta suffix; unknown parents fail
+    intercept[Exception] { spark.sql(s"SELECT * FROM $cat.nope.files") }
   }
 }
