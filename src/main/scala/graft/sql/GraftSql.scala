@@ -120,7 +120,8 @@ private[sql] class MissingGraftTable(root: String) extends Table with SupportsRe
   */
 private[graft] class GraftTable(val table: ChronicleTable,
     val snapshot: Snapshot) extends Table with SupportsRead
-  with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  with org.apache.spark.sql.connector.catalog.SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = s"graft(${table.root}@v${snapshot.version})"
   override def schema(): StructType = GraftWrite.withSqlDefaults(snapshot.schema)
@@ -159,6 +160,43 @@ private[graft] class GraftTable(val table: ChronicleTable,
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new GraftWriteBuilder(table, info)
+
+  /** `DELETE FROM cat.t WHERE …` — NOT the DSv2 group replace (that would
+    * physically drop rows with no LSN discipline). The matched VISIBLE
+    * rows become `_deleted = true` change events at one LSN above the
+    * table's high-water mark, applied through the same exactly-once MERGE
+    * as every other write: tombstones mask in the LWW read, changelog
+    * tailers ship the deletes downstream, time travel keeps the pre-DELETE
+    * state, and replaying the identical statement is a no-op (the victims
+    * are already hidden → empty batch). `TRUNCATE TABLE` inherits the same
+    * semantics via the default `truncateTable()` = delete-all. Predicates
+    * Spark cannot push as source filters (expressions, subqueries) are
+    * refused in analysis rather than half-applied.
+    */
+  override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
+    filters.forall(f => GraftSql.filterColumn(f, snapshot.schema).isDefined)
+
+  override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val spark = SparkSession.active
+    val cur = table.loadCurrent() // delete against the LATEST state, not
+    val cond = filters.toSeq      // the possibly stale resolution snapshot
+      .map(f => GraftSql.filterColumn(f, cur.schema).getOrElse(
+        throw new UnsupportedOperationException(
+          s"DELETE predicate not translatable to a source filter: $f")))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val victims = table.read(spark)
+      .filter(!col(Model.deletedColumn))
+      .filter(cond)
+    // hwm + 1 strictly exceeds every applied event's LSN, so each
+    // tombstone wins its key's LWW merge; the final payload rides along
+    // (the natural shape of a delete change event)
+    val changes = victims
+      .drop(Model.lsnColumn, Model.deletedColumn, Model.sourceColumn)
+      .withColumn(Model.lsnColumn, lit(cur.hwmLsn + 1L))
+      .withColumn(Model.deletedColumn, lit(true))
+    GraftWrite.insertChanges(table, changes)
+  }
 }
 
 private[graft] class GraftScanBuilder(table: ChronicleTable, snap: Snapshot,
@@ -432,15 +470,19 @@ private[sql] class SortedLwwMerge(streams: Seq[Iterator[InternalRow]],
   * per-commit lineage ledger). All three read JSON manifests only — no
   * data IO — so they plan as driver-local scans.
   *
-  * SQL `MERGE INTO` / `UPDATE` / `DELETE` are deliberately NOT
-  * implemented (Spark's standard "does not support MERGE INTO TABLE"
-  * error surfaces): the DSv2 row-level rewrite is a group replace —
-  * matched rows are physically rewritten or dropped with no LSN
-  * discipline and no tombstones, which would silently break the replay
-  * ledger, late-redelivery protection, and every changelog tailer. On a
-  * CDC ledger the correct MERGE is "apply change events", which is
-  * exactly what `INSERT INTO` of change rows does (delete = a
-  * `_deleted = true` row), with full exactly-once semantics.
+  * SQL `MERGE INTO` / `UPDATE` are deliberately NOT implemented (Spark's
+  * standard "does not support MERGE INTO TABLE" error surfaces): the DSv2
+  * row-level rewrite is a group replace — matched rows are physically
+  * rewritten with no LSN discipline and no tombstones, which would
+  * silently break the replay ledger, late-redelivery protection, and
+  * every changelog tailer. On a CDC ledger the correct MERGE is "apply
+  * change events", which is exactly what `INSERT INTO` of change rows
+  * does, with full exactly-once semantics. `DELETE FROM` (and `TRUNCATE
+  * TABLE`) ARE supported because a delete composes honestly as change
+  * events: the matched visible rows become `_deleted = true` tombstones
+  * above the high-water mark through the same merge
+  * ([[GraftTable.deleteWhere]]) — history, time travel and downstream
+  * tailers all see a normal delete batch.
   */
 class GraftCatalog extends TableCatalog
   with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
@@ -720,6 +762,43 @@ private[sql] class GraftMetaTable(name0: String, schema0: StructType,
 }
 
 private[sql] object GraftSql {
+
+  /** EXACT translation of a pushed source filter back to a Catalyst
+    * Column, for `DELETE FROM … WHERE` victim selection. None = shape not
+    * covered → the DELETE refuses in analysis (never half-applies).
+    * Unlike [[bounds]] (pruning, allowed to be lossy-conservative), this
+    * must be exact: the resulting condition SELECTS the rows to tombstone.
+    */
+  def filterColumn(f: sources.Filter,
+      schema: StructType): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    def ok(n: String) = schema.fieldNames.contains(n)
+    f match {
+      case sources.EqualTo(a, v) if ok(a) => Some(col(a) === lit(v))
+      case sources.EqualNullSafe(a, v) if ok(a) => Some(col(a) <=> lit(v))
+      case sources.In(a, vs) if ok(a) =>
+        Some(col(a).isInCollection(vs.toSeq))
+      case sources.GreaterThan(a, v) if ok(a) => Some(col(a) > lit(v))
+      case sources.GreaterThanOrEqual(a, v) if ok(a) => Some(col(a) >= lit(v))
+      case sources.LessThan(a, v) if ok(a) => Some(col(a) < lit(v))
+      case sources.LessThanOrEqual(a, v) if ok(a) => Some(col(a) <= lit(v))
+      case sources.IsNull(a) if ok(a) => Some(col(a).isNull)
+      case sources.IsNotNull(a) if ok(a) => Some(col(a).isNotNull)
+      case sources.StringStartsWith(a, v) if ok(a) => Some(col(a).startsWith(v))
+      case sources.StringEndsWith(a, v) if ok(a) => Some(col(a).endsWith(v))
+      case sources.StringContains(a, v) if ok(a) => Some(col(a).contains(v))
+      case sources.And(l, r) =>
+        for (a <- filterColumn(l, schema); b <- filterColumn(r, schema))
+          yield a && b
+      case sources.Or(l, r) =>
+        for (a <- filterColumn(l, schema); b <- filterColumn(r, schema))
+          yield a || b
+      case sources.Not(c) => filterColumn(c, schema).map(!_)
+      case _: sources.AlwaysTrue => Some(lit(true))
+      case _: sources.AlwaysFalse => Some(lit(false))
+      case _ => None
+    }
+  }
 
   /** (lower, upper) bound extraction from pushed source filters for one
     * column — the DSv2 mirror of [[graft.table.ChronicleFileIndex]]'s

@@ -317,4 +317,56 @@ class SqlWriteSpec extends SparkSpec {
     // a real table always wins over the meta suffix; unknown parents fail
     intercept[Exception] { spark.sql(s"SELECT * FROM $cat.nope.files") }
   }
+
+  test("DELETE FROM emits tombstone change events through the exactly-once merge") {
+    val (cat, root) = freshCatalog("del")
+    spark.sql(s"CREATE TABLE $cat.t (conv_id string, turn_idx int, role string, " +
+      "text string, tool string, ts timestamp) TBLPROPERTIES ('buckets'='2')")
+    spark.sql(s"INSERT INTO $cat.t (conv_id, turn_idx, role, text, tool, ts, _lsn) " +
+      "VALUES ('c-1', 0, 'user', 'a', NULL, timestamp'2024-01-01 00:00:00', 1), " +
+      "('c-1', 1, 'assistant', 'b', NULL, timestamp'2024-01-01 00:00:01', 2), " +
+      "('c-2', 0, 'user', 'c', NULL, timestamp'2024-01-01 00:00:02', 3)")
+    val t = new ChronicleTable(s"$root/t")
+    val preDelete = t.loadCurrent().version
+
+    spark.sql(s"DELETE FROM $cat.t WHERE conv_id = 'c-1'")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").collect()(0).getLong(0) == 1L)
+    val postDelete = t.loadCurrent()
+    assert(postDelete.version == preDelete + 1, "DELETE is one versioned commit")
+
+    // time travel keeps the pre-DELETE state; the deletes are ordinary
+    // tombstone change rows in the table (SQL is an UNORDERED source, so
+    // the mark-based changelog correctly refuses — the tombstones are what
+    // a compaction-aware or snapshot-diff downstream consumes)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF $preDelete")
+      .collect()(0).getLong(0) == 3L)
+    val shipped = t.read(spark).filter(col(Model.deletedColumn)).collect()
+    assert(shipped.map(r => (r.getAs[String]("conv_id"),
+      r.getAs[Int]("turn_idx"))).toSet == Set(("c-1", 0), ("c-1", 1)),
+      "the tombstoned keys must win their LWW merge")
+    // tombstones land strictly above the pre-delete high-water mark
+    assert(shipped.forall(_.getAs[Long](Model.lsnColumn) > 3L))
+
+    // replaying the identical DELETE finds no visible victims: no commit
+    spark.sql(s"DELETE FROM $cat.t WHERE conv_id = 'c-1'")
+    assert(t.loadCurrent().version == postDelete.version,
+      "an already-applied DELETE must not commit a new snapshot")
+
+    // non-pushable predicates refuse in analysis, never half-apply
+    intercept[Exception] {
+      spark.sql(s"DELETE FROM $cat.t WHERE length(text) > 100")
+    }
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").collect()(0).getLong(0) == 1L)
+
+    // TRUNCATE = delete-all with the same semantics: state empties,
+    // history stays travelable
+    spark.sql(s"TRUNCATE TABLE $cat.t")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").collect()(0).getLong(0) == 0L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF $preDelete")
+      .collect()(0).getLong(0) == 3L)
+    // the lineage ledger records the delete batches as source 'sql'
+    val dels = spark.sql(s"SELECT deletes FROM $cat.t.lineage " +
+      s"WHERE version > $preDelete").collect().map(_.getLong(0)).toSeq
+    assert(dels.sorted == Seq(1L, 2L), s"2 then 1 tombstones, got $dels")
+  }
 }
