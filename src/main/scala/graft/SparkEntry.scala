@@ -69,6 +69,8 @@ object SparkEntry {
     // the same replay driven entirely by SQL DML (CREATE TABLE + one
     // INSERT INTO … SELECT of change rows) — shares finalState's oracle
     "cdc_sql_insert" -> ((s, d) => CdcQueries.sqlInsertState(s, d)),
+    // … and pruned by a SQL DELETE (tombstone change events at hwm+1)
+    "cdc_sql_delete" -> ((s, d) => CdcQueries.sqlDeleteState(s, d)),
     // and driven by the NATIVE streaming sink (writeStream.format("graft"),
     // multi-epoch file tail) — same oracle again
     "cdc_stream_sink" -> ((s, d) => CdcQueries.streamSinkState(s, d)),
@@ -164,6 +166,13 @@ object SparkEntry {
          |d AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn FROM ch)
          |SELECT conv_id, turn_idx, role, text, tool, ts_ms
          |FROM d WHERE rn = 1 AND op <> 'D' ORDER BY conv_id, turn_idx""".stripMargin,
+
+    "cdc_sql_delete" ->
+      s"""WITH ch AS ($changesSql),
+         |d AS (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) AS rn FROM ch)
+         |SELECT conv_id, turn_idx, role, text, tool, ts_ms
+         |FROM d WHERE rn = 1 AND op <> 'D' AND turn_idx < 4
+         |ORDER BY conv_id, turn_idx""".stripMargin,
 
     "cdc_stream_sink" ->
       s"""WITH ch AS ($changesSql),

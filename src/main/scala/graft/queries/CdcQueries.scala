@@ -241,6 +241,42 @@ object CdcQueries {
       .orderBy("conv_id", "turn_idx")
   }
 
+  /** SQL-DML replay followed by a SQL `DELETE FROM … WHERE turn_idx >= 4`:
+    * the remaining visible state must equal the replayed final state under
+    * the same plain-SQL filter — DELETE-as-tombstone-events is oracle-gated
+    * against ordinary SQL delete semantics (DuckDB computes the survivor
+    * set directly; the engine computes it via LWW over tombstones at
+    * hwm+1).
+    */
+  def sqlDeleteState(spark: SparkSession, dir: String): DataFrame = {
+    val memo = replayCache.getOrElseUpdate((s"$dir#sqldel", 1), {
+      val cat = s"graft_dml_${dmlCatalogSeq.incrementAndGet()}"
+      val r = java.nio.file.Files.createTempDirectory("graft-sqldel").toString
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.root", r)
+      spark.sql(
+        s"""CREATE TABLE $cat.t (
+           |  conv_id string, turn_idx int, role string, text string,
+           |  tool string, ts timestamp) TBLPROPERTIES ('buckets'='8')""".stripMargin)
+      changes(spark, dir).selectExpr("conv_id", "turn_idx", "role", "text",
+        "tool", "ts", "lsn AS _lsn", "op = 'D' AS _deleted")
+        .createOrReplaceTempView("graft_del_changes")
+      spark.sql(
+        s"""INSERT INTO $cat.t
+           |  (conv_id, turn_idx, role, text, tool, ts, _lsn, _deleted)
+           |SELECT * FROM graft_del_changes""".stripMargin)
+      spark.sql(s"DELETE FROM $cat.t WHERE turn_idx >= 4")
+      s"$cat $r"
+    })
+    val parts = memo.split(' ')
+    val (catName, catRoot) = (parts(0), parts(1))
+    spark.conf.set(s"spark.sql.catalog.$catName", "graft.sql.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$catName.root", catRoot)
+    withMs(spark.sql(
+      s"SELECT conv_id, turn_idx, role, text, tool, ts FROM $catName.t"))
+      .orderBy("conv_id", "turn_idx")
+  }
+
   /** Full replay through the NATIVE STREAMING SINK: the change stream is
     * staged as parquet segments, tailed by a file source, and written with
     * `writeStream.format("graft")` ([[graft.sql.GraftStreamSink]]) — each
