@@ -68,11 +68,12 @@ object Bench {
           .config("spark.locality.wait", "0")
           .appName(s"graft-bench-cluster-$level")
       } else b0.master(s"local[$level]").appName(s"graft-bench-$level")
-    val b = b1
+    // tuneForEngine carries TIMESTAMP_MICROS plus the GRAFT_PARQUET_CODEC
+    // env knob (tools.CodecBench for the measured codec trade-off)
+    val b = graft.util.Sessions.tuneForEngine(b1)
       .config("spark.sql.shuffle.partitions", totalCores(level))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
     // shuffle scratch on tmpfs when available (models cluster-local NVMe;
     // the sandbox's single virtio disk otherwise serializes shuffle IO)

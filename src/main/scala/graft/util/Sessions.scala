@@ -31,8 +31,17 @@ object Sessions {
     * ts statistics — manifests then get (0,0) bounds and time pruning
     * silently keeps everything).
     */
-  def tuneForEngine(b: SparkSession.Builder): SparkSession.Builder =
-    b.config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+  def tuneForEngine(b: SparkSession.Builder): SparkSession.Builder = {
+    val withTs =
+      b.config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    // Storage codec knob (GRAFT_PARQUET_CODEC=zstd|snappy|lz4|…). Unset
+    // keeps Spark's default (snappy). At IO-bound parallelism the write
+    // phase is limited by BYTES flushed, not CPU — a denser codec trades
+    // spare compute for bandwidth; see BENCH.md round 5 for the measured
+    // trade-off on transcript payloads.
+    sys.env.get("GRAFT_PARQUET_CODEC").fold(withTs)(c =>
+      withTs.config("spark.sql.parquet.compression.codec", c))
+  }
 
   /** Apply executor-process plumbing when the master launches separate
     * executor JVMs; no-op for in-process masters. `execCores` > 0 pins each
