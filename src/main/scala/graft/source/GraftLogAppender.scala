@@ -22,7 +22,10 @@ import java.util.zip.CRC32
   * intake contract: events buffer in a bounded in-memory queue, flush as
   * one CRC-stamped JSON-lines message set to an [[graft.cdc.IngestServer]]
   * (`X-Graft-Crc32` + idempotent `X-Graft-Batch` retry key), and land as
-  * ordinary change events the pipeline drains exactly-once. The logging
+  * ordinary change events the pipeline drains exactly-once. Flushes are
+  * size-based (`batchEvents`) AND time-based (`flushIntervalMs`, the
+  * async client's `asyncTimeout=5000ms` semantics — a quiet logger's
+  * tail never sits buffered indefinitely). The logging
   * path NEVER throws (suro's appender contract): intake failures keep the
   * buffer, and when it exceeds `maxBuffered` the oldest events drop with
   * the drop counted (`droppedEvents`), exactly the async-client semantics
@@ -43,12 +46,23 @@ import java.util.zip.CRC32
   * same contract every other source in this engine rides.
   */
 class GraftLogAppender(name: String, endpoint: String, routingKey: String,
-    batchEvents: Int, maxBuffered: Int)
+    batchEvents: Int, maxBuffered: Int, flushIntervalMs: Long = 5000L)
   extends AbstractAppender(name, null, null, true, Property.EMPTY_ARRAY) {
 
   private val incarnationMs = System.currentTimeMillis()
   private val http = HttpClient.newBuilder()
     .connectTimeout(Duration.ofSeconds(2)).build()
+
+  // time-based flush alongside the size-based one: a QUIET logger's tail
+  // must not sit buffered until the next append or stop() — the async
+  // client's asyncTimeout (ClientConfig default 5000ms) semantics
+  private val flusher =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, s"$name-flusher"); t.setDaemon(true); t
+    })
+  flusher.scheduleWithFixedDelay(
+    () => try flush() catch { case _: Throwable => () },
+    flushIntervalMs, flushIntervalMs, java.util.concurrent.TimeUnit.MILLISECONDS)
 
   // all mutable state below guarded by `this` (log4j may append from any
   // thread; flush also runs on the caller's thread — suro flushes on the
@@ -144,6 +158,7 @@ class GraftLogAppender(name: String, endpoint: String, routingKey: String,
   }
 
   override def stop(): Unit = {
+    flusher.shutdownNow()
     synchronized(flushLocked()) // ship the remainder; best-effort
     super.stop()
   }
@@ -157,9 +172,9 @@ object GraftLogAppender {
     */
   def attach(loggerName: String, endpoint: String,
       routingKey: String = "applog", batchEvents: Int = 256,
-      maxBuffered: Int = 10000): GraftLogAppender = {
+      maxBuffered: Int = 10000, flushIntervalMs: Long = 5000L): GraftLogAppender = {
     val app = new GraftLogAppender(s"graft-$loggerName", endpoint,
-      routingKey, batchEvents, maxBuffered)
+      routingKey, batchEvents, maxBuffered, flushIntervalMs)
     app.start()
     val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
     val cfg = ctx.getConfiguration

@@ -20,7 +20,8 @@ class LogAppenderSpec extends SparkSpec {
     val loggerName = "graft.test.app.e2e"
     val app = GraftLogAppender.attach(loggerName,
       s"http://127.0.0.1:${srv.port}", routingKey = "applog",
-      batchEvents = 50, maxBuffered = 10000)
+      batchEvents = 50, maxBuffered = 10000,
+      flushIntervalMs = 600000L) // timer quiesced: this test pins SIZE flushes
     try {
       val log = LogManager.getLogger(loggerName)
       (0 until 118).foreach(i => log.info(s"work item $i done"))
@@ -56,6 +57,28 @@ class LogAppenderSpec extends SparkSpec {
       assert(p.runAll(spark) == 0)
     } finally {
       try srv.stop() catch { case _: Throwable => () }
+    }
+  }
+
+  test("a quiet logger's tail flushes on the timer, not only on size/stop") {
+    val src = tmpDir("logapp-timer")
+    val srv = IngestServer.start(IngestConfig(src, segmentEvents = 10000), port = 0)
+    val loggerName = "graft.test.app.timer"
+    val app = GraftLogAppender.attach(loggerName,
+      s"http://127.0.0.1:${srv.port}", batchEvents = 1000,
+      flushIntervalMs = 200L)
+    try {
+      val log = LogManager.getLogger(loggerName)
+      (0 until 5).foreach(i => log.info(s"t$i"))
+      assert(app.sentEvents == 0) // below the size threshold
+      val deadline = System.currentTimeMillis() + 5000
+      while (app.sentEvents < 5 && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(app.sentEvents == 5 && app.bufferedEvents == 0,
+        s"sent=${app.sentEvents} buffered=${app.bufferedEvents}")
+    } finally {
+      GraftLogAppender.detach(loggerName, app)
+      srv.stop()
     }
   }
 
