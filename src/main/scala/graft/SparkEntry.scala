@@ -130,7 +130,17 @@ object SparkEntry {
       .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
         col("width").cast("long").as("width"),
         col("height").cast("long").as("height"),
-        col("frames").cast("long").as("frames"))))
+        col("frames").cast("long").as("frames"))),
+
+    "mm_resize" -> ((s, d) => Multimodal.resizeMedia(s, d)
+      .select(col("doc_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("n_bytes_in").cast("long").as("n_bytes_in"),
+        col("n_bytes_out").cast("long").as("n_bytes_out"))),
+
+    "mm_frame_sample" -> ((s, d) => Multimodal.frameSamples(s, d)
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("ts_ms"))))
 
   def oracleSql: Map[String, String] = Map(
     "cdc_parse_changes" ->
@@ -678,5 +688,29 @@ object SparkEntry {
         |  (octet_length(encode(text)) % 640 + 1)::BIGINT AS width,
         |  ((octet_length(encode(text)) * 31) % 480 + 1)::BIGINT AS height,
         |  (octet_length(encode(text)) % 16 + 1)::BIGINT AS frames
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_resize" ->
+      """WITH m AS (SELECT doc_id,
+        |    octet_length(encode(text)) AS n,
+        |    (octet_length(encode(text)) % 640 + 1) AS w,
+        |    ((octet_length(encode(text)) * 31) % 480 + 1) AS h
+        |  FROM documents)
+        |SELECT doc_id,
+        |  LEAST(w, 320)::BIGINT AS width,
+        |  LEAST(h, 240)::BIGINT AS height,
+        |  n::BIGINT AS n_bytes_in,
+        |  GREATEST(1, LEAST(n::BIGINT, (n::BIGINT * 320 * 240) // (w::BIGINT * h)))::BIGINT AS n_bytes_out
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "mm_frame_sample" ->
+      """WITH f AS (SELECT doc_id,
+        |    (octet_length(encode(text)) % 16 + 1) AS frames
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |    unnest(generate_series(0, frames - 1, 4)) AS frame_idx
+        |  FROM f)
+        |SELECT doc_id, frame_idx::BIGINT AS frame_idx,
+        |  (frame_idx * 250)::BIGINT AS ts_ms
+        |FROM s ORDER BY doc_id, frame_idx""".stripMargin)
 }

@@ -70,4 +70,55 @@ object Multimodal {
       }
     }.toDF().orderBy("doc_id")
   }
+
+  /** A resized media row: the transcoded payload plus before/after shape.
+    * The payload is REAL plumbing (a fresh byte array of the target size);
+    * the oracle verifies the metadata, the spec path the bytes.
+    */
+  case class ResizedMedia(doc_id: Long, payload: Array[Byte], width: Int,
+      height: Int, n_bytes_in: Int, n_bytes_out: Int)
+
+  /** Media resize through the per-partition decoder: each payload is
+    * "transcoded" to the target resolution — the stub scales the byte
+    * length by pixel ratio (never upscales) and truncates/copies the
+    * bytes; a real image codec drops into the same seam. All integer
+    * arithmetic, so the SQL oracle reproduces the output shape exactly.
+    */
+  def resizeMedia(spark: SparkSession, dir: String,
+      targetW: Int = 320, targetH: Int = 240): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[MediaRow] = mediaTable(spark, dir).as[MediaRow]
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val n = m.payload.length
+        val (w, h, _) = StubDecoder.decode(m.payload)
+        val outLen = math.max(1, math.min(n.toLong,
+          n.toLong * (targetW.toLong * targetH) / (w.toLong * h))).toInt
+        ResizedMedia(m.doc_id, java.util.Arrays.copyOf(m.payload, outLen),
+          math.min(w, targetW), math.min(h, targetH), n, outLen)
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
+  /** One sampled frame of a media row. */
+  case class FrameSample(doc_id: Long, frame_idx: Int, ts_ms: Long)
+
+  /** Frame sampling: decode each payload's frame count and emit every
+    * `everyK`-th frame index with its timestamp at the stub's fixed 4 fps.
+    * The 100 TB shape: the decoder streams frames inside the partition
+    * iterator and only the SAMPLED frames ever materialize — the full
+    * frame set is never a row set.
+    */
+  def frameSamples(spark: SparkSession, dir: String,
+      everyK: Int = 4): DataFrame = {
+    import spark.implicits._
+    val media: Dataset[MediaRow] = mediaTable(spark, dir).as[MediaRow]
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        val (_, _, frames) = StubDecoder.decode(m.payload)
+        (0 until frames by everyK).iterator
+          .map(i => FrameSample(m.doc_id, i, i * 250L)) // 4 fps -> 250ms
+      }
+    }.toDF().orderBy("doc_id", "frame_idx")
+  }
 }
