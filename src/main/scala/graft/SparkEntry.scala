@@ -124,6 +124,8 @@ object SparkEntry {
     "ann_lsh_pairs" -> ((s, d) => Ann.lshCandidatePairs(s, d)),
     "ann_lsh_topk" -> ((s, d) => Ann.lshTopK(s, d)),
     "dedup_embedding_cosine" -> ((s, d) => Ann.embeddingNearDup(s, d)),
+    "ann_ivf_cells" -> ((s, d) => Ann.ivfCells(s, d)),
+    "ann_ivf_topk" -> ((s, d) => Ann.ivfTopK(s, d)),
     // ------------------------------------------------- multimodal plumbing
     "mm_binary_meta" -> ((s, d) => Multimodal.binaryMeta(s, d)),
     "mm_decode_features" -> ((s, d) => Multimodal.decodeFeatures(s, d)
@@ -639,6 +641,45 @@ object SparkEntry {
          |cand AS (SELECT query_id, b.vec_id AS neighbor_id
          |  FROM probes pr JOIN bkc b ON b.bucket = pr.probe
          |  WHERE b.vec_id <> pr.query_id),
+         |s AS (SELECT query_id, neighbor_id,
+         |    list_sum([eq.q[i] * en.q[i] for i in range(1, len(eq.q) + 1)])::BIGINT AS dot_q
+         |  FROM cand JOIN e eq ON eq.vec_id = cand.query_id
+         |  JOIN e en ON en.vec_id = cand.neighbor_id),
+         |r AS (SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY dot_q DESC, neighbor_id) AS rank FROM s)
+         |SELECT query_id, rank, neighbor_id, dot_q FROM r WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "ann_ivf_cells" ->
+      s"""WITH e AS ($quantizedSql),
+         |cent AS (SELECT vec_id AS cell, q AS cq FROM e
+         |  ORDER BY ('0x' || substr(md5('ivf_' || vec_id::VARCHAR), 1, 15))::BIGINT, vec_id
+         |  LIMIT 16),
+         |score AS (SELECT e.vec_id, c.cell,
+         |    list_sum([e.q[i] * c.cq[i] for i in range(1, len(e.q) + 1)])::BIGINT AS dot
+         |  FROM e, cent c),
+         |a AS (SELECT *, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY dot DESC, cell) AS rn FROM score)
+         |SELECT vec_id, cell FROM a WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "ann_ivf_topk" ->
+      s"""WITH e AS ($quantizedSql),
+         |cent AS (SELECT vec_id AS cell, q AS cq FROM e
+         |  ORDER BY ('0x' || substr(md5('ivf_' || vec_id::VARCHAR), 1, 15))::BIGINT, vec_id
+         |  LIMIT 16),
+         |score AS (SELECT e.vec_id, c.cell,
+         |    list_sum([e.q[i] * c.cq[i] for i in range(1, len(e.q) + 1)])::BIGINT AS dot
+         |  FROM e, cent c),
+         |assign AS (SELECT vec_id, cell FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY dot DESC, cell) AS rn FROM score)
+         |  WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, cell FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY dot DESC, cell) AS rn FROM score
+         |    WHERE vec_id < 8)
+         |  WHERE rn <= 4),
+         |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+         |  FROM probes p JOIN assign a USING (cell)
+         |  WHERE a.vec_id <> p.query_id),
          |s AS (SELECT query_id, neighbor_id,
          |    list_sum([eq.q[i] * en.q[i] for i in range(1, len(eq.q) + 1)])::BIGINT AS dot_q
          |  FROM cand JOIN e eq ON eq.vec_id = cand.query_id

@@ -225,4 +225,98 @@ object Ann {
       .filter(col("dot_q") >= minDotQ)
       .orderBy("a", "b")
   }
+
+  // ------------------------------------------------------------------ IVF
+
+  val ivfNlist = 16
+  val ivfNprobe = 4
+
+  /** IVF (inverted-file) ANN — the OTHER named scale path beside LSH: a
+    * coarse quantizer partitions vectors into `ivfNlist` cells, queries
+    * probe only the `ivfNprobe` nearest cells' inverted lists. Production
+    * IVF learns centroids with k-means; here the coarse quantizer is
+    * DETERMINISTIC — the centroids are the nlist vectors with the smallest
+    * md5-hash of their id (a hash-random corpus sample: k-means++'s
+    * seeding step without the Lloyd iterations), so cell assignment is
+    * integer-exact and the DuckDB oracle reproduces it bit-for-bit. The
+    * plan is the production shape regardless: centroids broadcast (nlist
+    * rows), assignment one scored pass, candidate generation a
+    * shuffle-by-cell join — never Q×N.
+    */
+  def ivfCentroids(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), quantized(col("embedding")).as("q"))
+      .orderBy(md5Long(concat(lit("ivf_"), col("vec_id").cast("string"))),
+        col("vec_id"))
+      .limit(ivfNlist)
+      .select(col("vec_id").as("cell"), col("q").as("cq"))
+
+  /** (vec_id, cell, dot_q) for every vector × centroid — one broadcast
+    * join + hash aggregate, all codegen'd (same posexplode trick as
+    * [[scorePairs]]).
+    */
+  private def scoreCentroids(emb: DataFrame): DataFrame = {
+    val flat = emb
+      .select(col("vec_id"), posexplode(quantized(col("embedding"))))
+      .withColumnRenamed("pos", "j").withColumnRenamed("col", "x")
+    val cflat = ivfCentroids(emb)
+      .select(col("cell"), posexplode(col("cq")))
+      .withColumnRenamed("pos", "j").withColumnRenamed("col", "cx")
+    flat.join(broadcast(cflat), Seq("j"))
+      .groupBy("vec_id", "cell")
+      .agg(sum(col("x") * col("cx")).as("dot_q"))
+  }
+
+  /** Cell assignment: each vector joins its max-inner-product centroid
+    * (ties to the smaller cell id). The inverted-file layout at scale IS
+    * this frame written bucketed by `cell`.
+    */
+  def ivfCells(spark: SparkSession, dir: String): DataFrame =
+    ivfCellsOver(embeddings(spark, dir)).orderBy("vec_id")
+
+  def ivfCellsOver(emb: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("dot_q").desc, col("cell"))
+    scoreCentroids(emb)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("cell"))
+  }
+
+  /** IVF top-k: queries rank the centroids, probe the nearest `nprobe`
+    * cells, exact-rerank the probed inverted lists. Recall vs
+    * [[bruteForceTopK]] is spec-asserted on the planted-neighbor fixture.
+    */
+  def ivfTopK(spark: SparkSession, dir: String, numQueries: Int = 8,
+      k: Int = 3, nprobe: Int = ivfNprobe): DataFrame =
+    ivfTopKOver(embeddings(spark, dir), numQueries, k, nprobe)
+
+  def ivfTopKOver(emb: DataFrame, numQueries: Int, k: Int,
+      nprobe: Int): DataFrame = {
+    val e = emb.select(col("vec_id"), quantized(col("embedding")).as("q"))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("dot_q").desc, col("cell"))
+    val probes = scoreCentroids(emb)
+      .filter(col("vec_id") < numQueries)
+      .withColumnRenamed("vec_id", "query_id")
+      .withColumn("__rn", row_number().over(wq))
+      .filter(col("__rn") <= nprobe)
+      .select("query_id", "cell")
+    // each vector lives in exactly ONE cell and a query's probed cells are
+    // distinct, so the inverted-list join cannot duplicate a candidate
+    val cand = probes
+      .join(ivfCellsOver(emb).withColumnRenamed("vec_id", "neighbor_id"),
+        Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id")
+    val scored = scorePairs(e,
+      cand.withColumnRenamed("query_id", "a")
+        .withColumnRenamed("neighbor_id", "b"))
+      .select(col("a").as("query_id"), col("b").as("neighbor_id"), col("dot_q"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dot_q").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "dot_q")
+      .orderBy("query_id", "rank")
+  }
 }

@@ -319,6 +319,19 @@ class DocDedupSpec extends SparkSpec {
     }
     val recall = hits.toDouble / nQ
     assert(recall >= 0.9, s"multi-probe recall $recall ($hits/$nQ) below 0.9")
+
+    // IVF on the same fixture and ground truth: near-twins land in the
+    // same (or an adjacently-probed) cell because cell assignment is
+    // max-inner-product against shared centroids — nprobe=4 of nlist=16
+    // must recover the twin for >= 0.9 of queries
+    val ivf = Ann.ivfTopKOver(emb, numQueries = nQ, k = 3,
+      nprobe = Ann.ivfNprobe).collect()
+    val ivfHits = (0 until nQ).count { q =>
+      ivf.exists(r => r.getAs[Long]("query_id") == q.toLong &&
+        r.getAs[Long]("neighbor_id") == truth(q.toLong))
+    }
+    val ivfRecall = ivfHits.toDouble / nQ
+    assert(ivfRecall >= 0.9, s"IVF recall $ivfRecall ($ivfHits/$nQ) below 0.9")
   }
 
   test("ANN: a degenerate hot bucket is capped — candidate count stays bounded") {
