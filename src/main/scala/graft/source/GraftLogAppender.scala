@@ -65,14 +65,16 @@ class GraftLogAppender(name: String, endpoint: String, routingKey: String,
     flushIntervalMs, flushIntervalMs, java.util.concurrent.TimeUnit.MILLISECONDS)
 
   // all mutable state below guarded by `this` (log4j may append from any
-  // thread; flush also runs on the caller's thread — suro flushes on the
-  // async client's, but a synchronous bounded flush keeps the appender
-  // dependency-free and deterministic under test)
+  // thread). Network flushes run on the flusher thread — size-triggered
+  // ones are HANDED OFF, so a logging call never blocks on the intake;
+  // only explicit flush() / stop() pay the POST on the caller's thread
+  // (the deterministic hooks tests and shutdown need).
   private val buffer = new java.util.ArrayDeque[String]()
   private var seq = 0L
   private val turnBySrc = scala.collection.mutable.Map.empty[String, Int]
   private var droppedCount = 0L
   private var sentCount = 0L
+  private var lastFailedAtMs = 0L
 
   /** Events dropped because the buffer overflowed while intake was down
     * (the reference's dropped-message counter).
@@ -112,24 +114,40 @@ class GraftLogAppender(name: String, endpoint: String, routingKey: String,
         node.put("ts", java.time.Instant.ofEpochMilli(event.getTimeMillis).toString)
         ChronicleTable.mapper.writeValueAsString(node)
       } catch { case _: Throwable => return } // never throw into logging
-    synchronized {
+    val full = synchronized {
       buffer.addLast(line)
       while (buffer.size > maxBuffered) {
         buffer.removeFirst()
         droppedCount += 1
       }
-      if (buffer.size >= batchEvents) flushLocked()
+      buffer.size >= batchEvents
     }
+    // network I/O happens on the FLUSHER thread, never the logging thread
+    // (the async-client contract: an app thread logging a line must not
+    // block on the intake's availability or latency)
+    if (full)
+      try flusher.execute(() => synchronized(flushLocked())) // backoff path
+      catch { case _: Throwable => () } // rejected during stop(): remainder
+                                        // ships in stop's own flush
   }
 
   /** Flush everything buffered as one message set; returns true when the
     * intake acknowledged it (duplicate replies count as acknowledged —
     * that IS the idempotent-retry contract). Failure keeps the buffer.
     */
-  def flush(): Boolean = synchronized(flushLocked())
+  def flush(): Boolean = synchronized(flushLocked(force = true))
 
-  private def flushLocked(): Boolean = {
+  private def flushLocked(): Boolean = flushLocked(force = false)
+
+  private def flushLocked(force: Boolean): Boolean = {
     if (buffer.isEmpty) return true
+    // failure backoff: after a failed attempt, size-triggered and queued
+    // flushes stand down for one timer interval (the dead-intake case must
+    // not turn every threshold crossing into a connect attempt); the timer
+    // itself — and stop() — always retry
+    if (!force &&
+        System.currentTimeMillis() - lastFailedAtMs < flushIntervalMs)
+      return false
     val lines = new java.util.ArrayList[String](buffer)
     val body = (String.join("\n", lines) + "\n").getBytes(StandardCharsets.UTF_8)
     val crc = new CRC32(); crc.update(body)
@@ -153,13 +171,14 @@ class GraftLogAppender(name: String, endpoint: String, routingKey: String,
     if (ok) {
       sentCount += lines.size
       buffer.clear()
-    }
+      lastFailedAtMs = 0L
+    } else lastFailedAtMs = System.currentTimeMillis()
     ok
   }
 
   override def stop(): Unit = {
     flusher.shutdownNow()
-    synchronized(flushLocked()) // ship the remainder; best-effort
+    synchronized(flushLocked(force = true)) // ship the remainder; best-effort
     super.stop()
   }
 }
