@@ -56,15 +56,25 @@ object Ann {
       .filter(col("__bsz") <= cap)
       .drop("__bsz")
 
+  /** (vec_id, j, x) per vector dimension, quantized AFTER the explode so
+    * the whole projection stays in whole-stage codegen — quantizing the
+    * array first ([[quantized]]) runs `transform`, an INTERPRETED
+    * higher-order function, over every row before exploding it.
+    */
+  private def flatQ(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("pos").as("j"),
+        round(col("col").cast("double") * 1000).cast("long").as("x"))
+
   /** Exact quantized inner product for a set of candidate (a, b) pairs via
     * posexplode + hash aggregate — every operator stays inside whole-stage
     * codegen, unlike a per-pair `dotQ` (interpreted higher-order function,
     * measured ~3x slower on the brute-force path and fixed there first).
-    * `e` must be (vec_id, q); output (a, b, dot_q).
+    * `flat` must be the [[flatQ]] of the vectors to score (callers
+    * restrict it to the candidate ids when the pair set is selective, so
+    * the corpus is never exploded twice in full); output (a, b, dot_q).
     */
-  private def scorePairs(e: DataFrame, pairs: DataFrame): DataFrame = {
-    val flat = e.select(col("vec_id"), posexplode(col("q")))
-      .withColumnRenamed("pos", "j").withColumnRenamed("col", "x")
+  private def scorePairsFlat(flat: DataFrame, pairs: DataFrame): DataFrame =
     pairs
       .join(flat.select(col("vec_id").as("a"), col("j"), col("x").as("xa")),
         Seq("a"))
@@ -72,6 +82,15 @@ object Ann {
         Seq("b", "j"))
       .groupBy("a", "b")
       .agg(sum(col("xa") * col("xb")).as("dot_q"))
+
+  /** [[flatQ]] restricted to the vectors a materialized pair set actually
+    * references — a broadcast semi-join keeps the explode proportional to
+    * the candidate set, not the corpus.
+    */
+  private def flatQFor(emb: DataFrame, pairsM: DataFrame): DataFrame = {
+    val ids = pairsM.select(col("a").as("vec_id"))
+      .unionByName(pairsM.select(col("b").as("vec_id"))).distinct()
+    flatQ(emb.join(broadcast(ids), Seq("vec_id"), "left_semi"))
   }
 
   /** Brute-force top-k by inner product: query set = vec_id < numQueries,
@@ -80,13 +99,13 @@ object Ann {
     */
   def bruteForceTopK(spark: SparkSession, dir: String,
       numQueries: Int = 8, k: Int = 3): DataFrame = {
-    val e = embeddings(spark, dir).select(col("vec_id"), quantized(col("embedding")).as("q"))
+    val emb = embeddings(spark, dir)
     // posexplode + hash aggregate keeps the dot product inside whole-stage
     // codegen (array higher-order functions are interpreted, measured ~3x
-    // slower here)
-    val flat = e.select(col("vec_id"), posexplode(col("q")))
-      .withColumnRenamed("pos", "j").withColumnRenamed("col", "x")
-    val qflat = flat.filter(col("vec_id") < numQueries)
+    // slower here); the query side explodes only the numQueries vectors
+    // (filter pushed into its own scan) instead of re-exploding the corpus
+    val flat = flatQ(emb)
+    val qflat = flatQ(emb.filter(col("vec_id") < numQueries))
       .select(col("vec_id").as("query_id"), col("j"), col("x").as("qx"))
     val scored = flat.join(broadcast(qflat), Seq("j"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -108,6 +127,37 @@ object Ann {
   def planeWeight(p: Column, j: Column): Column =
     md5Long(concat(p.cast("string"), lit("_"), j.cast("string"))) % 2001 - 1000
 
+  /** Dimensions covered by the PRECOMPUTED weight tables below; higher
+    * dimensions fall back to the per-row md5 expression (same value).
+    */
+  private val planeWeightDims = 1024
+
+  /** [[planeWeight]] precomputed driver-side per plane: the weight depends
+    * only on (p, j) — numPlanes x dim distinct values — yet the column
+    * expression made every exploded (vec_id, j) row pay numPlanes md5s
+    * (measured: ~1.5M md5 evaluations per bucket pass at sf0.1). A literal
+    * lookup table turns that into an array index. The Scala math mirrors
+    * the column expression exactly: md5 hex, first 15 nibbles as a 60-bit
+    * int, % 2001 - 1000.
+    */
+  private lazy val planeWeightTable: IndexedSeq[Seq[Long]] =
+    (0 until numPlanes).map { p =>
+      Array.tabulate(planeWeightDims) { j =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"${p}_${j}".getBytes("UTF-8"))
+        val hex = d.map(b => f"$b%02x").mkString.substring(0, 15)
+        java.lang.Long.parseLong(hex, 16) % 2001 - 1000
+      }.toSeq
+    }
+
+  /** Weight lookup: literal-array element_at under the table bound, the
+    * md5 expression above it (keeps correctness for any dimensionality).
+    */
+  private def planeWeightFast(p: Int, j: Column): Column =
+    when(j < planeWeightDims,
+      element_at(typedLit(planeWeightTable(p)), j + 1))
+      .otherwise(planeWeight(lit(p), j))
+
   /** LSH bucket assignment by random-hyperplane signs: bit p of the bucket
     * is sign(sum_j w(p,j) * q_j). Integer-exact end to end.
     */
@@ -122,12 +172,10 @@ object Ann {
     // N x dim rows once — and map-side partial aggregation reduces it to
     // one row per vector per partition before it ships.
     val projSums = (0 until numPlanes).map(p =>
-      sum(planeWeight(lit(p), col("j")) * col("x")).as(s"proj$p"))
+      sum(planeWeightFast(p, col("j")) * col("x")).as(s"proj$p"))
     val bucketBits = (0 until numPlanes).map(p =>
       when(col(s"proj$p") > 0, lit(1L << p)).otherwise(0L))
-    emb
-      .select(col("vec_id"), posexplode(quantized(col("embedding"))))
-      .withColumnRenamed("pos", "j").withColumnRenamed("col", "x")
+    flatQ(emb)
       .groupBy("vec_id")
       .agg(projSums.head, projSums.tail: _*)
       .select(col("vec_id"), bucketBits.reduce(_ + _).as("bucket"))
@@ -168,8 +216,11 @@ object Ann {
     */
   def lshTopKOver(emb: DataFrame, numQueries: Int, k: Int,
       probeRadius: Int): DataFrame = {
-    val e = emb.select(col("vec_id"), quantized(col("embedding")).as("q"))
-    val b = lshBucketsOver(emb) // (vec_id, bucket)
+    // The bucket table feeds BOTH the probe side and the (hot-capped)
+    // neighbor side, and ReuseExchange dedups neither — materialize the
+    // tiny (vec_id, bucket) frame once and scan it twice.
+    val b = graft.util.Scratch.materialize(emb.sparkSession,
+      lshBucketsOver(emb), "ann-buckets")
     val probes = b.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("bucket"))
       .withColumn("probe", explode(expr(probeExpr(probeRadius))))
@@ -178,15 +229,16 @@ object Ann {
     // distinct, so the join cannot duplicate a candidate; over-cap buckets
     // contribute no candidates (stop-bucket skew bound — a hot bucket
     // would otherwise fan every probing query out by |B|)
-    val cand = probes.join(
-      dropHotBuckets(b, maxBucketSize)
-        .select(col("vec_id").as("neighbor_id"), col("bucket").as("nb")),
-      col("probe") === col("nb"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select("query_id", "neighbor_id")
-    val scored = scorePairs(e,
-      cand.withColumnRenamed("query_id", "a")
-        .withColumnRenamed("neighbor_id", "b"))
+    val cand = graft.util.Scratch.materialize(emb.sparkSession,
+      probes.join(
+        dropHotBuckets(b, maxBucketSize)
+          .select(col("vec_id").as("neighbor_id"), col("bucket").as("nb")),
+        col("probe") === col("nb"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id").as("a"), col("neighbor_id").as("b")),
+      "ann-cand")
+    // exact rerank over only the vectors the candidate set references
+    val scored = scorePairsFlat(flatQFor(emb, cand), cand)
       .select(col("a").as("query_id"), col("b").as("neighbor_id"), col("dot_q"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("dot_q").desc, col("neighbor_id"))
@@ -215,13 +267,17 @@ object Ann {
     lshCandidatePairsOver(embeddings(spark, dir), minDotQ)
 
   def lshCandidatePairsOver(emb: DataFrame, minDotQ: Long): DataFrame = {
-    val e = emb.select(col("vec_id"), quantized(col("embedding")).as("q"))
-    val capped = dropHotBuckets(lshBucketsOver(emb), maxBucketSize)
-    val pairs = capped.select(col("vec_id").as("a"), col("bucket"))
-      .join(capped.select(col("vec_id").as("b"), col("bucket")), Seq("bucket"))
-      .filter(col("a") < col("b"))
-      .select("a", "b")
-    scorePairs(e, pairs)
+    // capped bucket table materialized once for the self-join (see
+    // lshTopKOver); candidate pairs materialized so the exact-rerank
+    // explode is restricted to the vectors the pairs reference
+    val capped = graft.util.Scratch.materialize(emb.sparkSession,
+      dropHotBuckets(lshBucketsOver(emb), maxBucketSize), "ann-capped")
+    val pairs = graft.util.Scratch.materialize(emb.sparkSession,
+      capped.select(col("vec_id").as("a"), col("bucket"))
+        .join(capped.select(col("vec_id").as("b"), col("bucket")), Seq("bucket"))
+        .filter(col("a") < col("b"))
+        .select("a", "b"), "ann-pairs")
+    scorePairsFlat(flatQFor(emb, pairs), pairs)
       .filter(col("dot_q") >= minDotQ)
       .orderBy("a", "b")
   }
@@ -244,24 +300,23 @@ object Ann {
     * shuffle-by-cell join — never Q×N.
     */
   def ivfCentroids(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"), quantized(col("embedding")).as("q"))
+    emb.select(col("vec_id"), col("embedding"))
       .orderBy(md5Long(concat(lit("ivf_"), col("vec_id").cast("string"))),
         col("vec_id"))
       .limit(ivfNlist)
-      .select(col("vec_id").as("cell"), col("q").as("cq"))
+      // quantize AFTER the top-nlist cut: the interpreted `transform` runs
+      // over nlist rows, not the corpus
+      .select(col("vec_id").as("cell"), quantized(col("embedding")).as("cq"))
 
   /** (vec_id, cell, dot_q) for every vector × centroid — one broadcast
     * join + hash aggregate, all codegen'd (same posexplode trick as
-    * [[scorePairs]]).
+    * [[scorePairsFlat]]).
     */
   private def scoreCentroids(emb: DataFrame): DataFrame = {
-    val flat = emb
-      .select(col("vec_id"), posexplode(quantized(col("embedding"))))
-      .withColumnRenamed("pos", "j").withColumnRenamed("col", "x")
     val cflat = ivfCentroids(emb)
       .select(col("cell"), posexplode(col("cq")))
       .withColumnRenamed("pos", "j").withColumnRenamed("col", "cx")
-    flat.join(broadcast(cflat), Seq("j"))
+    flatQ(emb).join(broadcast(cflat), Seq("j"))
       .groupBy("vec_id", "cell")
       .agg(sum(col("x") * col("cx")).as("dot_q"))
   }
@@ -273,10 +328,14 @@ object Ann {
   def ivfCells(spark: SparkSession, dir: String): DataFrame =
     ivfCellsOver(embeddings(spark, dir)).orderBy("vec_id")
 
-  def ivfCellsOver(emb: DataFrame): DataFrame = {
+  def ivfCellsOver(emb: DataFrame): DataFrame =
+    cellsFromScores(scoreCentroids(emb))
+
+  /** Max-inner-product cell assignment from a precomputed score frame. */
+  private def cellsFromScores(scores: DataFrame): DataFrame = {
     val w = Window.partitionBy("vec_id")
       .orderBy(col("dot_q").desc, col("cell"))
-    scoreCentroids(emb)
+    scores
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col("vec_id"), col("cell"))
@@ -292,10 +351,14 @@ object Ann {
 
   def ivfTopKOver(emb: DataFrame, numQueries: Int, k: Int,
       nprobe: Int): DataFrame = {
-    val e = emb.select(col("vec_id"), quantized(col("embedding")).as("q"))
+    // ONE vector x centroid scoring pass, materialized: the probe ranking
+    // and the cell assignment both consume it (the old plan ran the whole
+    // broadcast-join + aggregate twice — ReuseExchange dedups neither).
+    val scores = graft.util.Scratch.materialize(emb.sparkSession,
+      scoreCentroids(emb), "ivf-scores")
     val wq = Window.partitionBy("query_id")
       .orderBy(col("dot_q").desc, col("cell"))
-    val probes = scoreCentroids(emb)
+    val probes = scores
       .filter(col("vec_id") < numQueries)
       .withColumnRenamed("vec_id", "query_id")
       .withColumn("__rn", row_number().over(wq))
@@ -304,13 +367,13 @@ object Ann {
     // each vector lives in exactly ONE cell and a query's probed cells are
     // distinct, so the inverted-list join cannot duplicate a candidate
     val cand = probes
-      .join(ivfCellsOver(emb).withColumnRenamed("vec_id", "neighbor_id"),
+      .join(cellsFromScores(scores).withColumnRenamed("vec_id", "neighbor_id"),
         Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select("query_id", "neighbor_id")
-    val scored = scorePairs(e,
-      cand.withColumnRenamed("query_id", "a")
-        .withColumnRenamed("neighbor_id", "b"))
+      .select(col("query_id").as("a"), col("neighbor_id").as("b"))
+    // cand spans ~nprobe/nlist of the corpus per query — not selective, so
+    // the rerank explodes the corpus once (no id restriction pass)
+    val scored = scorePairsFlat(flatQ(emb), cand)
       .select(col("a").as("query_id"), col("b").as("neighbor_id"), col("dot_q"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("dot_q").desc, col("neighbor_id"))

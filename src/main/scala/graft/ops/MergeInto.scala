@@ -81,6 +81,18 @@ object MergeInto {
   /** Phase-timing log for profiling runs. */
   @volatile var profile: Boolean = false
 
+  /** Floor on the estimated bytes a single staged-write task should own
+    * (guide §2.5/§6: derive partitioning from input size, keep output
+    * files from fragmenting). Only ever REDUCES the write's task count —
+    * the shuffle-partition/bucket cap still bounds it above — so cluster-
+    * scale merges plan exactly as before while micro-batches stop paying
+    * a fleet of near-empty write tasks. Production would set this toward
+    * a full target file size (128M+); the default stays modest so the
+    * local bench's mid-size merges keep their parallelism.
+    */
+  @volatile var minWritePartitionBytes: Long =
+    sys.env.getOrElse("GRAFT_WRITE_MIN_PART_BYTES", (16L << 20).toString).toLong
+
   // Cumulative per-phase wall nanos since the last drain — always recorded
   // (two clock reads + one adder bump per phase) so the bench can report a
   // per-phase scaling breakdown without a special profiling mode. Phases
@@ -304,11 +316,22 @@ object MergeInto {
       }
 
       // hash-split sorted write of the new files + distributed footer stats
-      // (shared by both modes)
-      def writeStaged(newData: DataFrame): Seq[DataFileMeta] = {
+      // (shared by both modes). `bytesHint` is the manifest-derived
+      // estimate of the staged output (touched bytes + batch estimate):
+      // the split count derives from DATA SIZE, floored so no write task
+      // owns less than ~minWritePartitionBytes — a core-count constant
+      // here produced 32 near-empty files (and 32 footer reads, and a
+      // 32-entry commit) for an 800-row micro-batch, pure fixed overhead
+      // that shrinks at neither cluster size nor data size. At scale the
+      // size-derived count saturates the same shuffle-partition cap as
+      // before, so large merges are unchanged.
+      def writeStaged(newData: DataFrame, bytesHint: Long): Seq[DataFileMeta] = {
         val staging = table.newStagingDir()
-        val parts = math.max(1, math.min(
+        val cap = math.max(1, math.min(
           sess.conf.get("spark.sql.shuffle.partitions").toInt, buckets.size * 4))
+        val parts = math.max(1L, math.min(cap.toLong,
+          (bytesHint + minWritePartitionBytes - 1) / minWritePartitionBytes))
+          .toInt
         val splitsPerBucket = math.max(1, parts / math.max(1, buckets.size))
         tick("write")(withMicrosTimestamps(sess)(newData
           .withColumn("bucket", ChronicleTable.bucketExpr("conv_id", base.numBuckets))
@@ -362,7 +385,8 @@ object MergeInto {
             .withColumn(Model.deletedColumn, col("op") === "D")
             .withColumn(Model.sourceColumn, lit(srcPrefix))),
           physicalSchema)
-        val added = writeStaged(deltaRows).map(_.copy(delta = true))
+        val added = writeStaged(deltaRows, bytesHint = n * 256L)
+          .map(_.copy(delta = true))
         val (next, upserts, deletes) = commitFiles(Nil, added)
         return MergeResult(next, skipped = false, upserts, deletes, 0, added.size)
       }
@@ -450,7 +474,13 @@ object MergeInto {
       // the touched data. The deterministic hash split keeps hot buckets
       // from serializing into one writer; files stay sorted by key so
       // row-group stats and the footer min/max remain useful.
-      val added = writeStaged(newData)
+      val touchedBytes = touched.map(_.bytes).sum
+      val avgRowBytes =
+        if (touchedRows > 0 && touchedBytes > 0)
+          math.max(64L, touchedBytes / touchedRows)
+        else 256L
+      val added = writeStaged(newData,
+        bytesHint = touchedBytes + n * avgRowBytes)
       val (next, upserts, deletes) = commitFiles(touchedPaths, added)
       MergeResult(next, skipped = false, upserts, deletes, touched.size, added.size)
     } finally dedupedAll.unpersist()

@@ -83,21 +83,50 @@ object CdcQueries {
   /** Replay the change stream through the real ChronicleTable MERGE path
     * (micro-batched by LSN range) into a session-scratch table.
     */
+  /** Replay `numBatches` LSN-range batches of `ch` through MERGE with the
+    * pipelined drain's prepare-ahead: batch b+1's table-independent dedup
+    * (MergeInto.prepare) runs CONCURRENTLY with batch b's apply (guide
+    * §2.6 — overlap independent jobs so the apply's straggler tail is
+    * back-filled), exactly like CdcPipeline.runAllPipelined. Identical
+    * results: prepare reads no table state and the HWM redelivery filter
+    * still runs at apply time.
+    */
+  private def replayBatches(spark: SparkSession, ch: DataFrame,
+      table: ChronicleTable, numBatches: Int, keyPrefix: String,
+      mergeOnRead: Boolean = false,
+      afterBatch: Int => Unit = _ => ()): Unit = {
+    val maxLsn = ch.agg(max("lsn")).collect()(0).getLong(0)
+    val step = maxLsn / numBatches + 1
+    def batchDf(b: Int): DataFrame =
+      ch.filter(col("lsn") >= b * step && col("lsn") < (b + 1) * step)
+    val exec = java.util.concurrent.Executors.newSingleThreadExecutor()
+    try {
+      def prep(b: Int) = exec.submit(
+        new java.util.concurrent.Callable[MergeInto.Prepared] {
+          def call(): MergeInto.Prepared =
+            MergeInto.prepare(spark, batchDf(b), numBuckets = 8)
+        })
+      var pending = prep(0)
+      (0 until numBatches).foreach { b =>
+        val prepared = pending.get()
+        if (b + 1 < numBatches) pending = prep(b + 1)
+        MergeInto(spark, table, batchDf(b), s"$keyPrefix#$b", s"lsn-range-$b",
+          prepared = Some(prepared), mergeOnRead = mergeOnRead)
+        afterBatch(b)
+      }
+    } finally exec.shutdownNow()
+  }
+
   def replayTable(spark: SparkSession, dir: String,
       numBatches: Int = 4): ChronicleTable = {
     val root = replayCache.getOrElseUpdate((dir, numBatches), {
       val ch = changes(spark, dir).cache()
       try {
-        val maxLsn = ch.agg(max("lsn")).collect()(0).getLong(0)
-        val step = maxLsn / numBatches + 1
         val r = java.nio.file.Files
           .createTempDirectory("graft-finalstate").toString
         val table = new ChronicleTable(r)
         table.create(graft.model.Model.physicalSchemaV1, numBuckets = 8)
-        (0 until numBatches).foreach { b =>
-          val batch = ch.filter(col("lsn") >= b * step && col("lsn") < (b + 1) * step)
-          MergeInto(spark, table, batch, s"fs#$b", s"lsn-range-$b")
-        }
+        replayBatches(spark, ch, table, numBatches, "fs")
         r
       } finally ch.unpersist()
     })
@@ -126,19 +155,16 @@ object CdcQueries {
     val root = replayCache.getOrElseUpdate((dir, -numBatches), {
       val ch = changes(spark, dir).cache()
       try {
-        val maxLsn = ch.agg(max("lsn")).collect()(0).getLong(0)
-        val step = maxLsn / numBatches + 1
         val r = java.nio.file.Files
           .createTempDirectory("graft-finalstate-mor").toString
         val table = new ChronicleTable(r)
         table.create(graft.model.Model.physicalSchemaV1, numBuckets = 8)
-        (0 until numBatches).foreach { b =>
-          val batch = ch.filter(col("lsn") >= b * step && col("lsn") < (b + 1) * step)
-          MergeInto(spark, table, batch, s"fsm#$b", s"lsn-range-$b",
-            mergeOnRead = true)
-          if (b == numBatches / 2 - 1) // fold the first half into base files
-            graft.ops.Compaction(spark, table, maxFilesPerBucket = 0)
-        }
+        // prepare-ahead is safe alongside the mid-replay compaction too:
+        // prepare is table-independent (see CdcPipeline.maybeMaintain)
+        replayBatches(spark, ch, table, numBatches, "fsm", mergeOnRead = true,
+          afterBatch = b =>
+            if (b == numBatches / 2 - 1) // fold the first half into base files
+              graft.ops.Compaction(spark, table, maxFilesPerBucket = 0))
         r
       } finally ch.unpersist()
     })
@@ -288,15 +314,33 @@ object CdcQueries {
     val root = replayCache.getOrElseUpdate((s"$dir#wsink", 1), {
       val base = java.nio.file.Files.createTempDirectory("graft-wsink").toString
       val src = s"$base/segments"
-      // 4 lsn-range segments so the drain is a genuine multi-epoch tail
-      val ch = changes(spark, dir)
-      val maxLsn = ch.agg(max("lsn")).collect()(0).getLong(0)
-      val step = maxLsn / 4 + 1
-      (0 until 4).foreach { b =>
-        ch.filter(col("lsn") >= b * step && col("lsn") < (b + 1) * step)
-          .coalesce(1).write.parquet(s"$src/seg=$b")
-      }
-      val schema = spark.read.parquet(s"$src/seg=0").schema
+      // 4 lsn-range segments so the drain is a genuine multi-epoch tail.
+      // The change stream is cached for the duration of the staging writes
+      // (4 slices of one projection — previously re-parsed per segment)
+      // and the 4 independent single-file writes run CONCURRENTLY (guide
+      // §2.6): the sink merges each file as an UNORDERED epoch (per-key
+      // LSN guard + tombstones), so segment landing order is immaterial
+      // to the converged state.
+      val ch = changes(spark, dir).cache()
+      try {
+        val maxLsn = ch.agg(max("lsn")).collect()(0).getLong(0)
+        val step = maxLsn / 4 + 1
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+        try {
+          (0 until 4).map { b =>
+            pool.submit(new Runnable {
+              def run(): Unit =
+                ch.filter(col("lsn") >= b * step && col("lsn") < (b + 1) * step)
+                  .coalesce(1).write.parquet(s"$src/seg=$b")
+            })
+          }.foreach(_.get())
+        } finally pool.shutdown()
+      } finally ch.unpersist()
+      // the staged files carry exactly ch's columns — deriving the tail
+      // schema from the frame (nullable, as parquet reads back) saves the
+      // schema-inference read of seg=0
+      val schema = org.apache.spark.sql.types.StructType(
+        changes(spark, dir).schema.fields.map(_.copy(nullable = true)))
       spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$src/seg=*")
         .writeStream.format("graft")

@@ -137,11 +137,14 @@ object Corpus {
     val sh = DocDedup.shingles(spark, dir)
     val evalSet = sh.filter(col("doc_id") % 97 === 0).select("sh").distinct()
     val train = sh.filter(col("doc_id") % 97 =!= 0)
-    val counts = train.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val shared = train.join(broadcast(evalSet), Seq("sh"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-    counts.join(shared, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_shared"))
+    // ONE pass over the training shingles: a broadcast LEFT join marks
+    // eval-set membership per row (evalSet is distinct, so the join can't
+    // duplicate), and a single aggregate produces both the total and the
+    // shared count — the previous counts/shared double aggregate + outer
+    // join evaluated the train sub-plan twice and shuffled twice.
+    train.join(broadcast(evalSet.withColumn("__hit", lit(1))), Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"), count(col("__hit")).as("n_shared"))
       .select(col("doc_id"), col("n_sh"), col("n_shared"),
         (col("n_shared") * 2 >= col("n_sh")).as("contaminated"))
       .orderBy("doc_id")

@@ -58,6 +58,28 @@ object Scratch {
     }
   }
 
+  /** Materialize a derived DataFrame to FRESH scratch parquet and read it
+    * back — the in-query alternative to `.cache()` for sub-plans that a
+    * self-join or multi-use query would otherwise re-execute (Spark's
+    * ReuseExchange dedups only bit-identical physical sub-plans, and the
+    * differently-aliased sides of a self-join are not — measured plans
+    * showed 0 ReusedExchange and up to 62 repeated source scans in one
+    * LSH query). Unlike persist/localCheckpoint it pins no executor
+    * memory behind a long-lived session and leaks no cross-invocation
+    * state: every call writes a brand-new directory, so a re-invoked
+    * query recomputes from its inputs (the bench's cold-to-cold rule).
+    * The write fans out across executors, so the directory comes from
+    * [[sharedScratch]] (conf-resolved shared storage on a real cluster;
+    * a temp dir under a local master).
+    */
+  def materialize(spark: SparkSession,
+      df: org.apache.spark.sql.DataFrame, purpose: String)
+      : org.apache.spark.sql.DataFrame = {
+    val dir = sharedScratch(spark, purpose)
+    df.write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+  }
+
   /** Recursive delete (missing dir is a no-op). */
   def rmTree(dir: String): Unit = {
     val p = Paths.get(dir)
