@@ -75,10 +75,18 @@ object Ann {
     * the corpus is never exploded twice in full); output (a, b, dot_q).
     */
   private def scorePairsFlat(flat: DataFrame, pairs: DataFrame): DataFrame =
+    scorePairsFlat2(flat, flat, pairs)
+
+  /** [[scorePairsFlat]] with distinct per-side flats: top-k callers pass a
+    * queries-only a-side (numQueries vectors) so the corpus explode feeds
+    * only the b-side join.
+    */
+  private def scorePairsFlat2(flatA: DataFrame, flatB: DataFrame,
+      pairs: DataFrame): DataFrame =
     pairs
-      .join(flat.select(col("vec_id").as("a"), col("j"), col("x").as("xa")),
+      .join(flatA.select(col("vec_id").as("a"), col("j"), col("x").as("xa")),
         Seq("a"))
-      .join(flat.select(col("vec_id").as("b"), col("j"), col("x").as("xb")),
+      .join(flatB.select(col("vec_id").as("b"), col("j"), col("x").as("xb")),
         Seq("b", "j"))
       .groupBy("a", "b")
       .agg(sum(col("xa") * col("xb")).as("dot_q"))
@@ -237,8 +245,12 @@ object Ann {
         .filter(col("neighbor_id") =!= col("query_id"))
         .select(col("query_id").as("a"), col("neighbor_id").as("b")),
       "ann-cand")
-    // exact rerank over only the vectors the candidate set references
-    val scored = scorePairsFlat(flatQFor(emb, cand), cand)
+    // exact rerank over only the vectors the candidate set references:
+    // queries on the a-side, candidate neighbors on the b-side
+    val nbrIds = cand.select(col("b").as("vec_id")).distinct()
+    val scored = scorePairsFlat2(
+      flatQ(emb.filter(col("vec_id") < numQueries)),
+      flatQ(emb.join(broadcast(nbrIds), Seq("vec_id"), "left_semi")), cand)
       .select(col("a").as("query_id"), col("b").as("neighbor_id"), col("dot_q"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("dot_q").desc, col("neighbor_id"))
@@ -372,8 +384,10 @@ object Ann {
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id").as("a"), col("neighbor_id").as("b"))
     // cand spans ~nprobe/nlist of the corpus per query — not selective, so
-    // the rerank explodes the corpus once (no id restriction pass)
-    val scored = scorePairsFlat(flatQ(emb), cand)
+    // the rerank explodes the corpus once for the neighbor side; the query
+    // side explodes only the numQueries vectors
+    val scored = scorePairsFlat2(
+      flatQ(emb.filter(col("vec_id") < numQueries)), flatQ(emb), cand)
       .select(col("a").as("query_id"), col("b").as("neighbor_id"), col("dot_q"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("dot_q").desc, col("neighbor_id"))

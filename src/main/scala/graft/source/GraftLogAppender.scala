@@ -126,37 +126,52 @@ class GraftLogAppender(name: String, endpoint: String, routingKey: String,
     // (the async-client contract: an app thread logging a line must not
     // block on the intake's availability or latency)
     if (full)
-      try flusher.execute(() => synchronized(flushLocked())) // backoff path
+      try flusher.execute(() =>
+        flushMutex.synchronized(flushImpl(force = false))) // backoff path
       catch { case _: Throwable => () } // rejected during stop(): remainder
                                         // ships in stop's own flush
   }
+
+  /** Serializes the flush path (timer, size-trigger, explicit flush,
+    * stop) WITHOUT blocking `append`: the POST runs while holding only
+    * this mutex, never the appender monitor — a slow or hung intake
+    * stalls the flusher thread, not application logging threads (the
+    * monitor is held only for the bounded-time buffer snapshot before
+    * the POST and the ack bookkeeping after it). Serializing flushes
+    * also keeps retries on the SAME slice key (two overlapping in-flight
+    * snapshots would each ship a superset under a fresh key — correct but
+    * wasteful redelivery).
+    */
+  private val flushMutex = new Object
 
   /** Flush everything buffered as one message set; returns true when the
     * intake acknowledged it (duplicate replies count as acknowledged —
     * that IS the idempotent-retry contract). Failure keeps the buffer.
     */
-  def flush(): Boolean = synchronized(flushLocked(force = true))
+  def flush(): Boolean = flushMutex.synchronized(flushImpl(force = true))
 
-  private def flushLocked(): Boolean = flushLocked(force = false)
-
-  private def flushLocked(force: Boolean): Boolean = {
-    if (buffer.isEmpty) return true
-    // failure backoff: after a failed attempt, size-triggered and queued
-    // flushes stand down for one timer interval (the dead-intake case must
-    // not turn every threshold crossing into a connect attempt); the timer
-    // itself — and stop() — always retry
-    if (!force &&
-        System.currentTimeMillis() - lastFailedAtMs < flushIntervalMs)
-      return false
-    val lines = new java.util.ArrayList[String](buffer)
+  private def flushImpl(force: Boolean): Boolean = {
+    def lsnOf(s: String): Long =
+      ChronicleTable.mapper.readTree(s).get("lsn").asLong
+    // 1. snapshot the slice under the monitor (bounded-time work only)
+    val lines = synchronized {
+      if (buffer.isEmpty) return true
+      // failure backoff: after a failed attempt, size-triggered and queued
+      // flushes stand down for one timer interval (the dead-intake case
+      // must not turn every threshold crossing into a connect attempt);
+      // the timer itself — and stop() — always retry
+      if (!force &&
+          System.currentTimeMillis() - lastFailedAtMs < flushIntervalMs)
+        return false
+      new java.util.ArrayList[String](buffer)
+    }
+    // 2. POST with NO lock held — concurrent append() proceeds freely
     val body = (String.join("\n", lines) + "\n").getBytes(StandardCharsets.UTF_8)
     val crc = new CRC32(); crc.update(body)
     // slice identity = first..last lsn: a retry of the SAME slice reuses
     // the key (server answers duplicate without re-appending); a retry
     // that grew into a superset gets a new key = redelivery, absorbed by
     // the per-key LSN merge downstream
-    def lsnOf(s: String): Long =
-      ChronicleTable.mapper.readTree(s).get("lsn").asLong
     val key = s"$name#${lsnOf(lines.get(0))}-${lsnOf(lines.get(lines.size - 1))}"
     val ok =
       try {
@@ -168,17 +183,25 @@ class GraftLogAppender(name: String, endpoint: String, routingKey: String,
           .build()
         http.send(req, HttpResponse.BodyHandlers.ofString()).statusCode() == 200
       } catch { case _: Throwable => false }
-    if (ok) {
-      sentCount += lines.size
-      buffer.clear()
-      lastFailedAtMs = 0L
-    } else lastFailedAtMs = System.currentTimeMillis()
+    // 3. re-acquire and settle. While unlocked the buffer only GREW at the
+    // tail (append) or shrank at the head (drop-oldest), and lsns are
+    // strictly increasing — so "acked" is exactly the prefix at-or-below
+    // the slice's last lsn.
+    synchronized {
+      if (ok) {
+        sentCount += lines.size
+        val lastLsn = lsnOf(lines.get(lines.size - 1))
+        while (!buffer.isEmpty && lsnOf(buffer.peekFirst()) <= lastLsn)
+          buffer.removeFirst()
+        lastFailedAtMs = 0L
+      } else lastFailedAtMs = System.currentTimeMillis()
+    }
     ok
   }
 
   override def stop(): Unit = {
     flusher.shutdownNow()
-    synchronized(flushLocked(force = true)) // ship the remainder; best-effort
+    flushMutex.synchronized(flushImpl(force = true)) // ship the remainder
     super.stop()
   }
 }

@@ -42,6 +42,14 @@ private[sql] class GraftStreamSink(root: String, source: String,
 
   override def addBatch(batchId: Long, data: Dataset[Row]): Unit = {
     val batch0 = org.apache.spark.sql.graft.MicroBatch.stripStreaming(data)
+    // The micro-batch rides a session CLONE on which the stream engine
+    // disabled AQE (ResolveWriteToStream: streaming plans don't support
+    // it). The MERGE's jobs are ordinary BATCH queries planned on that
+    // clone, so without this every per-epoch shuffle runs at the full
+    // static partition count with no runtime coalescing — re-enable it
+    // for the batch side; the stream's own incremental plan is unaffected
+    // (it was analyzed before addBatch and never uses AQE).
+    batch0.sparkSession.conf.set("spark.sql.adaptive.enabled", "true")
     val cols = batch0.columns.toSet
     val batch =
       if (cols.contains(Model.ordColumn) && cols.contains("op")) batch0

@@ -39,6 +39,10 @@ object Sessions {
     // phase is limited by BYTES flushed, not CPU — a denser codec trades
     // spare compute for bandwidth; see BENCH.md round 5 for the measured
     // trade-off on transcript payloads.
+    // (Tried and reverted this round: spark.sql.join.preferSortMergeJoin=
+    // false — measured no effect on the 9-query join subset, 10.27 s vs
+    // 10.31 s; the engine's joins are broadcast or batch-bounded already,
+    // so the knob would be config churn, not a win.)
     sys.env.get("GRAFT_PARQUET_CODEC").fold(withTs)(c =>
       withTs.config("spark.sql.parquet.compression.codec", c))
   }

@@ -103,6 +103,93 @@ class LogAppenderSpec extends SparkSpec {
     } finally GraftLogAppender.detach(loggerName, app)
   }
 
+  test("a hung intake never blocks application logging threads") {
+    // a server that ACCEPTS connections but never answers: the in-flight
+    // POST sits in its 5s request timeout on the flusher thread. The
+    // appender contract (and the async-client semantics it mirrors) is
+    // that append() pays only bounded-time buffer work — the POST must
+    // run outside the appender monitor.
+    val sock = new java.net.ServerSocket(0)
+    val eater = new Thread(() =>
+      try {
+        while (true) { sock.accept() } // hold sockets open, never respond
+      } catch { case _: Throwable => () })
+    eater.setDaemon(true); eater.start()
+    val loggerName = "graft.test.app.hung"
+    val app = GraftLogAppender.attach(loggerName,
+      s"http://127.0.0.1:${sock.getLocalPort}", batchEvents = 2,
+      maxBuffered = 10000, flushIntervalMs = 600000L)
+    try {
+      val log = LogManager.getLogger(loggerName)
+      log.info("h0"); log.info("h1") // size-trigger: flusher now hangs in POST
+      Thread.sleep(150)              // let the flusher enter the send
+      val t0 = System.nanoTime()
+      (0 until 1000).foreach(i => log.info(s"h$i"))
+      val sec = (System.nanoTime() - t0) / 1e9
+      assert(sec < 2.0,
+        f"1000 appends took $sec%.1fs while a flush was in flight — " +
+          "logging threads are blocking on the intake")
+      assert(app.sentEvents == 0)
+    } finally {
+      GraftLogAppender.detach(loggerName, app)
+      sock.close()
+    }
+  }
+
+  test("a lost ack redelivers the same slice key and lands exactly once") {
+    // flaky front: forwards every set to the REAL intake but swallows the
+    // first success into a 500 — the client sees a failure for a batch the
+    // server persisted. The retry re-POSTs the SAME slice under the SAME
+    // X-Graft-Batch key; the intake's duplicate guard acknowledges without
+    // re-appending, and the drained table holds each event exactly once.
+    val src = tmpDir("logapp-lostack")
+    val tbl = tmpDir("logapp-lostack-tbl")
+    val srv = IngestServer.start(IngestConfig(src, segmentEvents = 10000), port = 0)
+    val failed = new java.util.concurrent.atomic.AtomicInteger(0)
+    val http = java.net.http.HttpClient.newHttpClient()
+    val front = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    front.createContext("/ingest", exchange => {
+      val body = exchange.getRequestBody.readAllBytes()
+      val fwd = java.net.http.HttpRequest
+        .newBuilder(java.net.URI.create(s"http://127.0.0.1:${srv.port}/ingest"))
+        .header("X-Graft-Crc32", exchange.getRequestHeaders.getFirst("X-Graft-Crc32"))
+        .header("X-Graft-Batch", exchange.getRequestHeaders.getFirst("X-Graft-Batch"))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofByteArray(body))
+        .build()
+      val resp = http.send(fwd, java.net.http.HttpResponse.BodyHandlers.ofString())
+      val status = // swallow the FIRST success: ack lost after persist
+        if (resp.statusCode() == 200 && failed.getAndIncrement() == 0) 500
+        else resp.statusCode()
+      val out = resp.body().getBytes("UTF-8")
+      exchange.sendResponseHeaders(status, out.length)
+      exchange.getResponseBody.write(out)
+      exchange.close()
+    })
+    front.start()
+    val loggerName = "graft.test.app.lostack"
+    val app = GraftLogAppender.attach(loggerName,
+      s"http://127.0.0.1:${front.getAddress.getPort}", batchEvents = 1000)
+    try {
+      val log = LogManager.getLogger(loggerName)
+      (0 until 10).foreach(i => log.info(s"la$i"))
+      assert(!app.flush(), "first flush must see the lost ack as failure")
+      assert(app.bufferedEvents == 10) // failure keeps the buffer
+      assert(app.flush(), "retry of the persisted slice must be acknowledged")
+      assert(app.sentEvents == 10 && app.bufferedEvents == 0)
+      GraftLogAppender.detach(loggerName, app)
+      srv.stop()
+      val p = new CdcPipeline(PipelineConfig(src, tbl, segmentsPerBatch = 10,
+        numBuckets = 2))
+      p.runAll(spark)
+      assert(p.currentState(spark).count() == 10,
+        "redelivered slice must not duplicate rows")
+    } finally {
+      front.stop(0)
+      try srv.stop() catch { case _: Throwable => () }
+    }
+  }
+
   test("a retried flush is idempotent at the intake (same slice, same key)") {
     val src = tmpDir("logapp-retry")
     val tbl = tmpDir("logapp-retry-tbl")

@@ -306,13 +306,19 @@ class SqlWriteSpec extends SparkSpec {
     assert(files.forall(r => r.getString(5) <= r.getString(6)),
       "min_key <= max_key in every manifest row")
 
-    // .lineage is the per-commit ledger; SQL inserts tag source 'sql'
+    // .lineage is the per-commit ledger; SQL inserts tag source 'sql'.
+    // Change rows are counted via upserts+deletes (layout-independent);
+    // row_count is rows WRITTEN, which includes co-located survivor
+    // rewrites and so depends on the physical file split — at least the
+    // change rows, not exactly them.
     val lin = spark.sql(
-      s"SELECT source, row_count FROM $cat.t.lineage ORDER BY version")
+      s"SELECT source, upserts + deletes AS changes, row_count " +
+        s"FROM $cat.t.lineage ORDER BY version")
       .collect()
     assert(lin.length == t.fullLineage().size)
     assert(lin.forall(_.getString(0) == "sql"))
     assert(lin.map(_.getLong(1)).sum == 3L, "three change rows across commits")
+    assert(lin.map(_.getLong(2)).sum >= 3L)
 
     // a real table always wins over the meta suffix; unknown parents fail
     intercept[Exception] { spark.sql(s"SELECT * FROM $cat.nope.files") }
