@@ -75,7 +75,17 @@ object Scratch {
   def materialize(spark: SparkSession,
       df: org.apache.spark.sql.DataFrame, purpose: String)
       : org.apache.spark.sql.DataFrame = {
-    val dir = sharedScratch(spark, purpose)
+    // under a local master with no configured scratch root, prefer tmpfs
+    // (the bench-scratch policy above): these frames are small and
+    // short-lived, and /tmp's disk latency is pure overhead on them;
+    // configured/multi-node resolution is unchanged (sharedScratch)
+    val local = spark.sparkContext.isLocal ||
+      spark.sparkContext.master.startsWith("local-cluster")
+    val dir =
+      if (local && spark.conf.getOption("graft.scratch.dir").isEmpty &&
+          spark.sparkContext.getCheckpointDir.isEmpty)
+        shmTemp(s"graft-$purpose")
+      else sharedScratch(spark, purpose)
     df.write.mode("overwrite").parquet(dir)
     spark.read.parquet(dir)
   }
