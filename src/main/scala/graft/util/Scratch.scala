@@ -72,6 +72,22 @@ object Scratch {
     * [[sharedScratch]] (conf-resolved shared storage on a real cluster;
     * a temp dir under a local master).
     */
+  /** Dirs created by [[materialize]], removed by a JVM shutdown hook: the
+    * frames are tiny but a long-lived session would otherwise accumulate
+    * one directory per materializing query invocation indefinitely.
+    * (Deleting EAGERLY is not safe — the returned DataFrame is lazy and a
+    * caller may act on it long after the next query ran. A service with
+    * stricter retention needs should point `graft.scratch.dir` at managed
+    * storage with its own GC.)
+    */
+  private val materialized =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      materialized.forEach(d =>
+        try rmTree(d) catch { case _: Throwable => () })))
+  }
+
   def materialize(spark: SparkSession,
       df: org.apache.spark.sql.DataFrame, purpose: String)
       : org.apache.spark.sql.DataFrame = {
@@ -86,6 +102,7 @@ object Scratch {
           spark.sparkContext.getCheckpointDir.isEmpty)
         shmTemp(s"graft-$purpose")
       else sharedScratch(spark, purpose)
+    materialized.add(dir)
     df.write.mode("overwrite").parquet(dir)
     spark.read.parquet(dir)
   }
