@@ -80,9 +80,6 @@ object CdcQueries {
     */
   def clearReplayCache(): Unit = replayCache.clear()
 
-  /** Replay the change stream through the real ChronicleTable MERGE path
-    * (micro-batched by LSN range) into a session-scratch table.
-    */
   /** Replay `numBatches` LSN-range batches of `ch` through MERGE with the
     * pipelined drain's prepare-ahead: batch b+1's table-independent dedup
     * (MergeInto.prepare) runs CONCURRENTLY with batch b's apply (guide
@@ -122,8 +119,10 @@ object CdcQueries {
     val root = replayCache.getOrElseUpdate((dir, numBatches), {
       val ch = changes(spark, dir).cache()
       try {
-        val r = java.nio.file.Files
-          .createTempDirectory("graft-finalstate").toString
+        // session-scratch table on tmpfs when available — the same
+        // storage-class policy the bench's own replay tables use
+        // (Scratch.shmTemp; the sandbox's /tmp is a real disk)
+        val r = graft.util.Scratch.shmTemp("graft-finalstate")
         val table = new ChronicleTable(r)
         table.create(graft.model.Model.physicalSchemaV1, numBuckets = 8)
         replayBatches(spark, ch, table, numBatches, "fs")
@@ -155,8 +154,7 @@ object CdcQueries {
     val root = replayCache.getOrElseUpdate((dir, -numBatches), {
       val ch = changes(spark, dir).cache()
       try {
-        val r = java.nio.file.Files
-          .createTempDirectory("graft-finalstate-mor").toString
+        val r = graft.util.Scratch.shmTemp("graft-finalstate-mor")
         val table = new ChronicleTable(r)
         table.create(graft.model.Model.physicalSchemaV1, numBuckets = 8)
         // prepare-ahead is safe alongside the mid-replay compaction too:
@@ -242,7 +240,7 @@ object CdcQueries {
     // one would resolve against the instance pinned to the old root
     val memo = replayCache.getOrElseUpdate((s"$dir#sqldml", 1), {
       val cat = s"graft_dml_${dmlCatalogSeq.incrementAndGet()}"
-      val r = java.nio.file.Files.createTempDirectory("graft-sqldml").toString
+      val r = graft.util.Scratch.shmTemp("graft-sqldml")
       spark.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
       spark.conf.set(s"spark.sql.catalog.$cat.root", r)
       spark.sql(
@@ -277,7 +275,7 @@ object CdcQueries {
   def sqlDeleteState(spark: SparkSession, dir: String): DataFrame = {
     val memo = replayCache.getOrElseUpdate((s"$dir#sqldel", 1), {
       val cat = s"graft_dml_${dmlCatalogSeq.incrementAndGet()}"
-      val r = java.nio.file.Files.createTempDirectory("graft-sqldel").toString
+      val r = graft.util.Scratch.shmTemp("graft-sqldel")
       spark.conf.set(s"spark.sql.catalog.$cat", "graft.sql.GraftCatalog")
       spark.conf.set(s"spark.sql.catalog.$cat.root", r)
       spark.sql(
@@ -312,7 +310,7 @@ object CdcQueries {
     */
   def streamSinkState(spark: SparkSession, dir: String): DataFrame = {
     val root = replayCache.getOrElseUpdate((s"$dir#wsink", 1), {
-      val base = java.nio.file.Files.createTempDirectory("graft-wsink").toString
+      val base = graft.util.Scratch.shmTemp("graft-wsink")
       val src = s"$base/segments"
       // 4 lsn-range segments so the drain is a genuine multi-epoch tail.
       // The change stream is cached for the duration of the staging writes

@@ -41,10 +41,18 @@ object BenchExtra {
         System.err.println(s"[extra] $name failed: ${e.getMessage}") }
       (System.nanoTime() - t0) / 1e9
     }
+    val phases = sys.env.get("SPARK_GRAFT_EXTRA_PHASES").contains("1")
     val rows = names.map { n =>
       val ts = (1 to passes).map { i =>
         if (i > 1) graft.queries.CdcQueries.clearReplayCache()
-        timeQuery(n)
+        if (phases) graft.ops.MergeInto.drainPhaseSeconds() // reset
+        val t = timeQuery(n)
+        if (phases) {
+          val p = graft.ops.MergeInto.drainPhaseSeconds().toSeq.sortBy(_._1)
+            .map { case (k, v) => f"$k=$v%.2f" }.mkString(" ")
+          println(f"  pass$i $t%.3fs  merge-phases: $p")
+        }
+        t
       }
       println(f"$n%-28s min=${ts.min}%7.3f  passes=${ts.map(t => f"$t%.3f").mkString(",")}")
       n -> ts.min
